@@ -1,0 +1,240 @@
+"""Pixel-segment contrastive (SegSort / vMF NCA) losses.
+
+Capability parity with reference `hsg/utils/segsort/loss.py` and the
+retrieval metrics in `hsg/utils/segsort/eval.py`, re-designed for TPU:
+losses take dense padded arrays with validity masks and reduce to one big
+`[num_pixels, num_prototypes]` MXU matmul followed by masked reductions
+(XLA fuses the exp/scale/mask chain into the matmul epilogue).
+
+Loss semantics (reference `_calculate_log_likelihood`, loss.py:15-82):
+  sims      = exp(concentration * E @ P^T)
+  self_sim  = sims[i, proto_id(i)]
+  same_sum  = sum over same-semantic prototypes - self_sim
+  numerator = same_sum if same_sum > 0 else self_sim     ('segsort+')
+  denom     = numerator + sum over different-semantic prototypes
+  nll       = -log(numerator / denom), averaged over valid pixels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hsg_tpu.ops import common
+
+
+def _similarities(embeddings, prototypes, concentration, prototype_valid):
+    """exp(kappa * E @ P^T), with invalid prototypes zeroed."""
+    logits = jax.lax.dot_general(
+        embeddings, prototypes,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sims = jnp.exp(logits * concentration)
+    if prototype_valid is not None:
+        sims = sims * prototype_valid[None, :].astype(sims.dtype)
+    return sims
+
+
+def segsort_log_likelihood(embeddings: jnp.ndarray,
+                           semantic_labels: jnp.ndarray,
+                           prototype_ids: jnp.ndarray,
+                           prototypes: jnp.ndarray,
+                           prototype_semantic_labels: jnp.ndarray,
+                           concentration: float,
+                           group_mode: str = 'segsort+',
+                           prototype_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-pixel negative log-likelihood (see module docstring).
+
+    Args:
+      embeddings: `[N, C]` unit-norm pixel embeddings.
+      semantic_labels: `[N]` int semantic grouping label per pixel.
+      prototype_ids: `[N]` int index of each pixel's own prototype in `[0, G)`.
+      prototypes: `[G, C]` unit-norm prototypes.
+      prototype_semantic_labels: `[G]` int semantic label per prototype
+        (use a negative value for padding so it never matches a pixel).
+      concentration: vMF kappa.
+      group_mode: 'segsort+' (same-minus-self numerator) or 'segsort'.
+      prototype_valid: `[G]` bool mask of real prototypes.
+
+    Returns:
+      `[N]` nll values (callers mask/average over valid pixels).
+    """
+    sims = _similarities(embeddings, prototypes, concentration, prototype_valid)
+
+    self_sim = jnp.take_along_axis(sims, prototype_ids[:, None], axis=1)  # [N,1]
+
+    same = jnp.equal(semantic_labels[:, None], prototype_semantic_labels[None, :])
+    if prototype_valid is not None:
+        same = same & prototype_valid[None, :]
+    diff = jnp.not_equal(semantic_labels[:, None], prototype_semantic_labels[None, :])
+    if prototype_valid is not None:
+        diff = diff & prototype_valid[None, :]
+
+    if group_mode == 'segsort+':
+        same_sum = jnp.sum(sims * same, axis=1, keepdims=True) - self_sim
+        numerator = jnp.where(same_sum > 0, same_sum, self_sim)
+    elif group_mode == 'segsort':
+        numerator = self_sim
+    else:
+        raise ValueError(f'Unknown group_mode: {group_mode}')
+
+    denominator = jnp.sum(sims * diff, axis=1, keepdims=True) + numerator
+    nll = -jnp.log(numerator / denominator)
+    return nll[:, 0]
+
+
+def set_segsort_log_likelihood(embeddings: jnp.ndarray,
+                               semantic_tags: jnp.ndarray,
+                               prototype_ids: jnp.ndarray,
+                               prototypes: jnp.ndarray,
+                               prototype_semantic_tags: jnp.ndarray,
+                               concentration: float,
+                               group_mode: str = 'segsort+',
+                               prototype_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Multi-hot (image-tag) variant.
+
+    Parity with reference `_one_hot_calculate_log_likelihood`
+    (loss.py:85-130): same/different membership comes from the label
+    affinity `tags @ proto_tags^T` (>0 same, ==0 different).
+
+    Args:
+      semantic_tags: `[N, num_classes]` multi-hot pixel tags.
+      prototype_semantic_tags: `[G, num_classes]` multi-hot prototype tags.
+    """
+    sims = _similarities(embeddings, prototypes, concentration, prototype_valid)
+    self_sim = jnp.take_along_axis(sims, prototype_ids[:, None], axis=1)
+
+    affinity = jax.lax.dot_general(
+        semantic_tags.astype(jnp.float32),
+        prototype_semantic_tags.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    same = affinity > 0
+    diff = affinity == 0
+    if prototype_valid is not None:
+        same = same & prototype_valid[None, :]
+        diff = diff & prototype_valid[None, :]
+
+    if group_mode == 'segsort+':
+        same_sum = jnp.sum(sims * same, axis=1, keepdims=True) - self_sim
+        numerator = jnp.where(same_sum > 0, same_sum, self_sim)
+    else:
+        numerator = self_sim
+
+    denominator = jnp.sum(sims * diff, axis=1, keepdims=True) + numerator
+    nll = -jnp.log(numerator / denominator)
+    return nll[:, 0]
+
+
+def masked_mean(values: jnp.ndarray, valid: jnp.ndarray | None) -> jnp.ndarray:
+    """Mean over valid entries (0 if none)."""
+    if valid is None:
+        return jnp.mean(values)
+    w = valid.astype(values.dtype)
+    total = jnp.sum(w)
+    return jnp.sum(values * w) / jnp.maximum(total, 1.0)
+
+
+class SegSortLoss:
+    """Callable wrapper mirroring reference `SegSortLoss` (loss.py:133).
+
+    `reduction` in {'mean', 'sum', 'none'}; reductions respect the pixel
+    validity mask.
+    """
+
+    def __init__(self, concentration=10.0, group_mode='segsort+', reduction='mean'):
+        self.concentration = concentration
+        self.group_mode = group_mode
+        self.reduction = reduction
+
+    def __repr__(self):
+        return (f'SegSortLoss(concentration={self.concentration:.2f}, '
+                f'group_mode={self.group_mode})')
+
+    def __call__(self, embeddings, semantic_labels, prototype_ids,
+                 prototypes, prototype_semantic_labels,
+                 pixel_valid=None, prototype_valid=None):
+        nll = segsort_log_likelihood(
+            embeddings, semantic_labels, prototype_ids, prototypes,
+            prototype_semantic_labels, self.concentration, self.group_mode,
+            prototype_valid)
+        if self.reduction == 'mean':
+            return masked_mean(nll, pixel_valid)
+        if self.reduction == 'sum':
+            if pixel_valid is None:
+                return jnp.sum(nll)
+            return jnp.sum(nll * pixel_valid.astype(nll.dtype))
+        return nll
+
+
+class SetSegSortLoss:
+    """Callable wrapper mirroring reference `SetSegSortLoss` (loss.py:193)."""
+
+    def __init__(self, concentration=10.0, group_mode='segsort+', reduction='mean'):
+        self.concentration = concentration
+        self.group_mode = group_mode
+        self.reduction = reduction
+
+    def __repr__(self):
+        return (f'SetSegSortLoss(concentration={self.concentration:.2f}, '
+                f'group_mode={self.group_mode})')
+
+    def __call__(self, embeddings, semantic_tags, prototype_ids,
+                 prototypes, prototype_semantic_tags,
+                 pixel_valid=None, prototype_valid=None):
+        nll = set_segsort_log_likelihood(
+            embeddings, semantic_tags, prototype_ids, prototypes,
+            prototype_semantic_tags, self.concentration, self.group_mode,
+            prototype_valid)
+        if self.reduction == 'mean':
+            return masked_mean(nll, pixel_valid)
+        if self.reduction == 'sum':
+            if pixel_valid is None:
+                return jnp.sum(nll)
+            return jnp.sum(nll * pixel_valid.astype(nll.dtype))
+        return nll
+
+
+def top_k_ranking(embeddings: jnp.ndarray,
+                  labels: jnp.ndarray,
+                  prototypes: jnp.ndarray,
+                  prototype_labels: jnp.ndarray,
+                  top_k: int = 3,
+                  query_valid: jnp.ndarray | None = None,
+                  prototype_valid: jnp.ndarray | None = None):
+    """Top-k cosine retrieval accuracy + retrieved labels.
+
+    Parity with reference `top_k_ranking` (segsort/eval.py:9-52), with
+    masks: invalid prototypes are pushed to -inf affinity; accuracy
+    averages over valid queries only.
+
+    Returns (accuracy scalar, `[N, top_k]` retrieved labels).
+    """
+    affinity = jax.lax.dot_general(
+        embeddings.reshape(-1, embeddings.shape[-1]),
+        prototypes.reshape(-1, prototypes.shape[-1]),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if prototype_valid is not None:
+        affinity = jnp.where(prototype_valid[None, :], affinity, -jnp.inf)
+    _, top_k_indices = jax.lax.top_k(affinity, top_k)
+
+    hits = jnp.equal(labels.reshape(-1, 1),
+                     prototype_labels[top_k_indices])
+    if query_valid is not None:
+        accuracy = masked_mean(
+            jnp.mean(hits.astype(jnp.float32), axis=1), query_valid)
+    else:
+        accuracy = jnp.mean(hits.astype(jnp.float32))
+    top_k_labels = prototype_labels[top_k_indices]
+    return accuracy, top_k_labels
+
+
+def majority_label_from_topk(top_k_labels: jnp.ndarray,
+                             num_classes: int) -> jnp.ndarray:
+    """Majority vote over retrieved top-k labels.
+
+    Parity with reference `majority_label_from_topk` (segsort/eval.py:55-70).
+    """
+    oh = common.one_hot(top_k_labels, num_classes)
+    return jnp.argmax(jnp.sum(oh, axis=1), axis=1)
