@@ -1,0 +1,126 @@
+"""Bottleneck ResNet backbone with DeepLab multi-grid dilation (Flax/NHWC).
+
+Capability parity with reference `hsg/models/backbones/resnet.py`:
+- stem: 7x7/2 conv -> BN -> ReLU -> 3x3/2 maxpool;
+- four bottleneck stages (res2..res5) with per-stage stride/dilation;
+- res5 uses multi-grid [1, 2, 4] (resnet.py:110-112); a stage configured
+  with dilation d uses first-block dilation 1 (d in {1,2}) or 2 (d == 4),
+  then d * grid[i] for the rest (resnet.py:136-148);
+- He (fan-out normal) conv init, BN gamma=1 beta=0 (resnet.py:114-121),
+  BN momentum 0.1 (torch) == 0.9 decay here, eps 1e-5.
+
+TPU-first: NHWC layout, optional bfloat16 compute with float32 BN stats &
+params, and BatchNorm over the *global* batch axis — under a sharded `jit`
+this compiles to per-device partial moments + an ICI all-reduce, which IS
+the reference's SyncBN (lib/nn/sync_batchnorm/) without any of its
+thread/queue machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# He-normal over fan-out: std = sqrt(2 / (kh * kw * out_ch)), matching the
+# reference's manual init (resnet.py:116-117).
+conv_init = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with float32 stats/params regardless of compute dtype."""
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        orig_dtype = x.dtype
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride, dilation) -> 1x1(x4) with projection shortcut."""
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    use_projection: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=conv_init, name='conv1')(x)
+        y = BatchNorm(name='bn1')(y, train)
+        y = nn.relu(y)
+        d = self.dilation
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=((d, d), (d, d)), kernel_dilation=(d, d),
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=conv_init, name='conv2')(y)
+        y = BatchNorm(name='bn2')(y, train)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=conv_init, name='conv3')(y)
+        y = BatchNorm(name='bn3')(y, train)
+        if self.use_projection:
+            residual = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               kernel_init=conv_init, name='proj_conv')(x)
+            residual = BatchNorm(name='proj_bn')(residual, train)
+        return nn.relu(y + residual)
+
+
+def _stage_dilations(blocks: int, dilation: int, grids: Sequence[int] | None):
+    """Per-block dilations for one stage (see module docstring)."""
+    if grids is None:
+        grids = [1] * blocks
+    if dilation in (1, 2):
+        first = 1
+    elif dilation == 4:
+        first = 2
+    else:
+        raise ValueError(f'unknown dilation size: {dilation}')
+    return [first] + [dilation * grids[i] for i in range(1, blocks)]
+
+
+class ResNetBackbone(nn.Module):
+    """Returns (res2, res3, res4, res5) feature maps, NHWC."""
+    blocks: Sequence[int] = (3, 4, 6, 3)
+    strides: Sequence[int] = (1, 2, 2, 1)
+    dilations: Sequence[int] = (1, 1, 1, 2)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=conv_init, name='conv1')(x)
+        x = BatchNorm(name='bn1')(x, train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = []
+        planes = (64, 128, 256, 512)
+        for stage in range(4):
+            grids = [1, 2, 4] if stage == 3 else None
+            dils = _stage_dilations(self.blocks[stage],
+                                    self.dilations[stage], grids)
+            for i in range(self.blocks[stage]):
+                stride = self.strides[stage] if i == 0 else 1
+                x = Bottleneck(
+                    planes[stage], stride=stride, dilation=dils[i],
+                    use_projection=(i == 0), dtype=self.dtype,
+                    name=f'res{stage + 2}_{i}')(x, train)
+            feats.append(x)
+        return tuple(feats)
