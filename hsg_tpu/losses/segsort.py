@@ -42,7 +42,8 @@ def segsort_log_likelihood(embeddings: jnp.ndarray,
                            prototype_semantic_labels: jnp.ndarray,
                            concentration: float,
                            group_mode: str = 'segsort+',
-                           prototype_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+                           prototype_valid: jnp.ndarray | None = None,
+                           pixel_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-pixel negative log-likelihood (see module docstring).
 
     Args:
@@ -55,6 +56,9 @@ def segsort_log_likelihood(embeddings: jnp.ndarray,
       concentration: vMF kappa.
       group_mode: 'segsort+' (same-minus-self numerator) or 'segsort'.
       prototype_valid: `[G]` bool mask of real prototypes.
+      pixel_valid: `[N]` bool; invalid pixels get nll 0 with clean
+        gradients (their own prototype may be masked out, which would
+        otherwise give -log(0) and poison the masked mean with inf * 0).
 
     Returns:
       `[N]` nll values (callers mask/average over valid pixels).
@@ -79,6 +83,10 @@ def segsort_log_likelihood(embeddings: jnp.ndarray,
         raise ValueError(f'Unknown group_mode: {group_mode}')
 
     denominator = jnp.sum(sims * diff, axis=1, keepdims=True) + numerator
+    if pixel_valid is not None:
+        safe = pixel_valid[:, None]
+        numerator = jnp.where(safe, numerator, 1.0)
+        denominator = jnp.where(safe, denominator, 1.0)
     nll = -jnp.log(numerator / denominator)
     return nll[:, 0]
 
@@ -90,7 +98,8 @@ def set_segsort_log_likelihood(embeddings: jnp.ndarray,
                                prototype_semantic_tags: jnp.ndarray,
                                concentration: float,
                                group_mode: str = 'segsort+',
-                               prototype_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+                               prototype_valid: jnp.ndarray | None = None,
+                               pixel_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Multi-hot (image-tag) variant.
 
     Parity with reference `_one_hot_calculate_log_likelihood`
@@ -122,6 +131,10 @@ def set_segsort_log_likelihood(embeddings: jnp.ndarray,
         numerator = self_sim
 
     denominator = jnp.sum(sims * diff, axis=1, keepdims=True) + numerator
+    if pixel_valid is not None:
+        safe = pixel_valid[:, None]
+        numerator = jnp.where(safe, numerator, 1.0)
+        denominator = jnp.where(safe, denominator, 1.0)
     nll = -jnp.log(numerator / denominator)
     return nll[:, 0]
 
@@ -157,7 +170,7 @@ class SegSortLoss:
         nll = segsort_log_likelihood(
             embeddings, semantic_labels, prototype_ids, prototypes,
             prototype_semantic_labels, self.concentration, self.group_mode,
-            prototype_valid)
+            prototype_valid, pixel_valid)
         if self.reduction == 'mean':
             return masked_mean(nll, pixel_valid)
         if self.reduction == 'sum':
@@ -185,7 +198,7 @@ class SetSegSortLoss:
         nll = set_segsort_log_likelihood(
             embeddings, semantic_tags, prototype_ids, prototypes,
             prototype_semantic_tags, self.concentration, self.group_mode,
-            prototype_valid)
+            prototype_valid, pixel_valid)
         if self.reduction == 'mean':
             return masked_mean(nll, pixel_valid)
         if self.reduction == 'sum':

@@ -17,10 +17,13 @@ def normalize_embedding(embeddings: jnp.ndarray, eps: float = 1e-12) -> jnp.ndar
     """L2-normalizes embeddings along the last dimension.
 
     Mirrors reference `normalize_embedding` (general/common.py:101): norms
-    below `eps` are clamped to `eps` (zero vectors stay zero).
+    below `eps` are clamped to `eps` (zero vectors stay zero). Implemented
+    as sqrt(max(sum(x^2), eps^2)) == max(||x||, eps) so the gradient at the
+    zero vector is 0 instead of NaN — empty (padded) prototype slots are
+    exactly zero and would otherwise poison backprop.
     """
-    norm = jnp.linalg.norm(embeddings, axis=-1, keepdims=True)
-    norm = jnp.maximum(norm, eps)
+    sq = jnp.sum(embeddings * embeddings, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
     return embeddings / norm
 
 

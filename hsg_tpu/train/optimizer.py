@@ -1,0 +1,149 @@
+"""Optimizer with per-group LR multipliers + LR schedules.
+
+Capability parity with the reference's custom SGD (lib/nn/optimizer.py:18-104)
+and LR policies (hsg/utils/general/train.py):
+
+  d_p = grad + weight_decay * param        (weight groups only)
+  buf = momentum * buf + (multiplier * lr) * d_p
+  param -= buf
+
+The reference encodes group multipliers via `get_params_lr` tables
+(resnet_fcn.py:185-222, resnet_fcn_hsg.py:339-441): backbone/head weights
+x1 (with decay), biases x2 (no decay); HSG transformer-head weights x10 /
+biases x20 (x1/x2 for the `_cs` variant). Here the same grouping is derived
+from flax param paths, and the update is one `tree_map` — no param-group
+objects.
+
+Implemented as an optax-style pair (init_fn, update_fn) where update takes
+the scalar LR each step (the reference computes the schedule in the train
+loop and passes it to `step(lr)`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+# Module prefixes whose params get the transformer-head multipliers
+# (resnet_fcn_hsg.py:375-439).
+HEAD_PREFIXES = ('pos_embed', 'fine_query_embed', 'coarse_query_embed',
+                 'fine_hrchy_transformer', 'coarse_hrchy_transformer')
+
+
+def _is_bias(path) -> bool:
+    return path[-1] == 'bias'
+
+
+def _is_head(path) -> bool:
+    return path[0] in HEAD_PREFIXES
+
+
+def lr_multipliers(params, head_weight_mult: float = 10.0,
+                   head_bias_mult: float = 20.0):
+    """Per-leaf LR multiplier tree.
+
+    head_weight_mult/head_bias_mult = 10/20 for `hsg`, 1/2 for `hsg_cs`
+    (the one LR difference between resnet_fcn_hsg.py and _cs.py).
+    """
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for path, leaf in flat.items():
+        if _is_head(path):
+            mult = head_bias_mult if _is_bias(path) else head_weight_mult
+        else:
+            mult = 2.0 if _is_bias(path) else 1.0
+        out[path] = jnp.asarray(mult, dtype=jnp.float32)
+    return traverse_util.unflatten_dict(out)
+
+
+def weight_decay_mask(params):
+    """True for leaves that receive weight decay (everything except biases,
+    mirroring the reference's `weight_decay=0` bias groups)."""
+    flat = traverse_util.flatten_dict(params)
+    out = {path: not _is_bias(path) for path in flat}
+    return traverse_util.unflatten_dict(out)
+
+
+class SGDState(NamedTuple):
+    momentum: Any  # tree of momentum buffers
+
+
+def sgd(momentum: float = 0.9, weight_decay: float = 0.0,
+        multipliers=None, decay_mask=None):
+    """Reference-semantic SGD; `update_fn(grads, state, params, lr)`."""
+
+    def init_fn(params):
+        return SGDState(momentum=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update_fn(grads, state, params, lr):
+        mults = multipliers
+        if mults is None:
+            mults = jax.tree_util.tree_map(lambda _: 1.0, params)
+        mask = decay_mask
+        if mask is None:
+            mask = jax.tree_util.tree_map(lambda _: True, params)
+
+        def upd(g, buf, p, m, use_wd):
+            g = g.astype(jnp.float32)
+            if weight_decay:
+                g = g + jnp.where(use_wd, weight_decay, 0.0) * p
+            buf = momentum * buf + (m * lr) * g
+            return buf
+
+        new_buf = jax.tree_util.tree_map(upd, grads, state.momentum, params,
+                                         mults, mask)
+        updates = jax.tree_util.tree_map(lambda b: -b, new_buf)
+        return updates, SGDState(momentum=new_buf)
+
+    return init_fn, update_fn
+
+
+def clip_grad(grads, clip_val: float):
+    """Element-wise gradient clamp, parity with lib/nn/optimizer.py:182."""
+    return jax.tree_util.tree_map(
+        lambda g: jnp.clip(g, -clip_val, clip_val), grads)
+
+
+# ---------------------------------------------------------------------------
+# LR schedules (parity with hsg/utils/general/train.py).
+
+
+def lr_poly(base_lr, curr_iter, max_iter, warmup_iter=0, power=0.9):
+    """Polynomial decay with linear warmup from base_lr/10."""
+    curr = jnp.asarray(curr_iter, jnp.float32)
+    decay = base_lr * (1.0 - curr / max_iter) ** power
+    if warmup_iter > 0:
+        alpha = curr / warmup_iter
+        warm = jnp.minimum(
+            base_lr * (0.1 * (1 - alpha) + alpha), decay)
+        return jnp.where(curr < warmup_iter, warm, decay)
+    return decay
+
+
+def lr_step(base_lr, curr_iter, decay_iters, warmup_iter=0):
+    """Stepwise 10x decay at each milestone, with linear warmup."""
+    curr = jnp.asarray(curr_iter, jnp.float32)
+    step_idx = jnp.zeros((), jnp.float32)
+    for it in decay_iters:
+        step_idx = step_idx + (curr >= it)
+    decayed = base_lr * (0.1 ** step_idx)
+    if warmup_iter > 0:
+        alpha = curr / warmup_iter
+        warm = base_lr * (0.1 * (1 - alpha) + alpha)
+        return jnp.where(curr < warmup_iter, warm, decayed)
+    return decayed
+
+
+def schedule_from_config(config):
+    """Builds iteration -> lr, mirroring pyscripts/train/train.py:311-322
+    (the 'step' policy derives milestones at 32% / 56% / 75% of training)."""
+    t = config.train
+    if t.lr_policy == 'step':
+        decay_iters = [int(r * t.max_iteration) for r in (0.32, 0.56, 0.75)]
+        return lambda it: lr_step(t.base_lr, it, decay_iters,
+                                  t.warmup_iteration)
+    return lambda it: lr_poly(t.base_lr, it, t.max_iteration,
+                              t.warmup_iteration)

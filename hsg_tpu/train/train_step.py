@@ -1,0 +1,98 @@
+"""The jitted SPMD train step.
+
+Replaces the reference's entire per-iteration orchestration
+(pyscripts/train/train.py:157-361): embedding forward, global prototype
+formation, losses, backward, and the custom SGD update are ONE compiled
+XLA program over the global batch. The reference's six host/device
+boundaries per step (SURVEY.md §3.1) collapse to a single dispatch; its
+cross-GPU gathers become XLA collectives chosen automatically from the
+shardings.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax.core import freeze, unfreeze
+
+from hsg_tpu.train import optimizer as opt_lib
+
+
+class TrainState(NamedTuple):
+    """Carried training state (a pytree; replicated over the mesh)."""
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(embedding_model, rng, sample_batch,
+                       head_weight_mult=10.0, head_bias_mult=20.0,
+                       momentum=0.9, weight_decay=1e-4):
+    """Initializes params/batch-stats and the optimizer."""
+    variables = embedding_model.init(
+        {'params': rng, 'dropout': rng},
+        sample_batch['image'], sample_batch.get('semantic_label'),
+        sample_batch.get('instance_label'), train=False)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    mults = opt_lib.lr_multipliers(params, head_weight_mult, head_bias_mult)
+    mask = opt_lib.weight_decay_mask(params)
+    init_fn, update_fn = opt_lib.sgd(momentum, weight_decay, mults, mask)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=init_fn(params))
+    return state, update_fn
+
+
+def make_train_step(embedding_model, prediction_model, schedule,
+                    update_fn) -> Callable:
+    """Builds the pure train-step function (jit it with shardings).
+
+    batch: dict with 'image' `[B, H, W, 3]`, 'semantic_label' /
+    'instance_label' `[B, H, W]`, 'image_index' `[B]`; arranged as
+    num_views consecutive views per image.
+    """
+
+    def train_step(state: TrainState, batch, dropout_rng):
+        def loss_fn(params):
+            outputs, mutated = embedding_model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch['image'],
+                batch.get('semantic_label'),
+                batch.get('instance_label'),
+                train=True,
+                mutable=['batch_stats'],
+                rngs={'dropout': dropout_rng})
+            pred = prediction_model(
+                outputs, {'image_index': batch.get('image_index')},
+                with_loss=True)
+            terms = {k: v for k, v in pred.items()
+                     if k.endswith('_loss') and v is not None}
+            total = sum(terms.values()) if terms else jnp.float32(0)
+            aux = dict(terms)
+            aux['accuracy'] = pred.get('accuracy', jnp.float32(0))
+            return total, (mutated['batch_stats'], aux)
+
+        (loss, (new_stats, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        lr = schedule(state.step)
+        updates, new_opt_state = update_fn(
+            grads, state.opt_state, state.params, lr)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state)
+        metrics = {'loss': loss, 'lr': lr}
+        metrics.update(aux)
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,176 @@
+"""SPMD train-step tests on an 8-device virtual CPU mesh.
+
+This is the rebuild's replacement for the reference's 2-GPU SyncBN tests
+(lib/nn/sync_batchnorm/tests/): the key invariant of the single-SPMD-
+program design is that the sharded global-batch computation (BN moments,
+global prototype contrastive, gradients) equals the unsharded one.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hsg_tpu.config import default_config
+from hsg_tpu.models import hsg as hsg_lib
+from hsg_tpu.models import predictions as pred_lib
+from hsg_tpu.parallel import mesh as mesh_lib
+from hsg_tpu.train import optimizer as opt_lib
+from hsg_tpu.train import train_step as ts_lib
+
+
+def _cfg():
+    cfg = default_config()
+    cfg.network.embedding_dim = 16
+    cfg.network.kmeans_num_clusters = (2, 2)
+    cfg.network.kmeans_iterations = 2
+    cfg.network.max_segments_per_view = 8
+    cfg.network.label_divisor = 64
+    cfg.dataset.num_classes = 4
+    cfg.train.fine_hrchy_clusters = 3
+    cfg.train.coarse_hrchy_clusters = 2
+    cfg.train.img_sim_loss_types = 'segsort'
+    cfg.train.img_sim_concentration = 16
+    cfg.train.img_sim_loss_weight = 1.0
+    cfg.train.fine_hrchy_loss_types = 'segsort'
+    cfg.train.fine_hrchy_concentration = 16
+    cfg.train.fine_hrchy_loss_weight = 0.1
+    cfg.train.coarse_hrchy_loss_types = 'segsort'
+    cfg.train.coarse_hrchy_concentration = 16
+    cfg.train.coarse_hrchy_loss_weight = 0.1
+    cfg.train.dmon_loss_types = 'dmon'
+    cfg.train.dmon_knn = 2
+    cfg.train.dmon_loss_weight = 1.0
+    cfg.train.centroid_cont_loss_types = 'segsort'
+    cfg.train.centroid_cont_concentration = 16
+    cfg.train.centroid_cont_loss_weight = 1.0
+    cfg.train.base_lr = 1e-2
+    cfg.train.max_iteration = 100
+    cfg.train.warmup_iteration = 0
+    cfg.train.lr_policy = 'step'
+    cfg.train.weight_decay = 1e-4
+    return cfg
+
+
+def _model(cfg):
+    return hsg_lib.MultiviewResnetFcn(
+        backbone_depth=(1, 1, 1, 1), embedding_dim=16,
+        kmeans_num_clusters=(2, 2), kmeans_iterations=2, max_segments=8,
+        label_divisor=64, num_views=2, fine_hrchy_clusters=3,
+        coarse_hrchy_clusters=2, transformer_dropout=0.0)
+
+
+def _batch(b=8, hw=32):
+    rng = np.random.default_rng(0)
+    return {
+        'image': jnp.asarray(rng.normal(size=(b, hw, hw, 3)),
+                             jnp.float32),
+        'semantic_label': jnp.zeros((b, hw, hw), jnp.int32),
+        'instance_label': jnp.asarray(
+            rng.integers(0, 4, (b, hw, hw)), jnp.int32),
+        'image_index': jnp.asarray(np.arange(b) // 2, jnp.int32),
+    }
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = _cfg()
+    model = _model(cfg)
+    prediction = pred_lib.hsg(cfg)
+    batch = _batch()
+    state, update_fn = ts_lib.create_train_state(
+        model, jax.random.PRNGKey(0), batch,
+        momentum=cfg.train.momentum, weight_decay=cfg.train.weight_decay)
+    schedule = opt_lib.schedule_from_config(cfg)
+    step_fn = jax.jit(ts_lib.make_train_step(model, prediction, schedule,
+                                             update_fn))
+    return cfg, model, prediction, batch, state, step_fn
+
+
+def test_train_step_runs_and_all_losses_active(setup):
+    cfg, model, prediction, batch, state, step_fn = setup
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    for key in ('img_sim_loss', 'hrchy_group_loss', 'clustering_loss'):
+        assert key in metrics, key
+        assert np.isfinite(float(metrics[key])), key
+    assert np.isfinite(float(metrics['loss']))
+    assert float(metrics['accuracy']) >= 0
+    assert int(new_state.step) == 1
+    # Params actually changed.
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.params, new_state.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_sharded_equals_unsharded(setup):
+    """The SyncBN/prototype-sync equivalence test: identical results
+    whether the batch lives on 1 device or is sharded over 8."""
+    cfg, model, prediction, batch, state, step_fn = setup
+    assert len(jax.devices()) == 8
+
+    # Single-device run.
+    _, m1 = step_fn(state, batch, jax.random.PRNGKey(1))
+
+    # 8-way sharded run.
+    mesh = mesh_lib.create_mesh()
+    sharded_batch = mesh_lib.shard_batch(batch, mesh)
+    sharded_state = mesh_lib.replicate(state, mesh)
+    _, m8 = step_fn(sharded_state, sharded_batch, jax.random.PRNGKey(1))
+
+    # Tolerance covers reduction-order FP divergence of the sharded
+    # collectives (partial-sum all-reduce for BN moments etc.); the
+    # computation itself is identical SPMD semantics.
+    np.testing.assert_allclose(float(m1['loss']), float(m8['loss']),
+                               rtol=5e-3)
+    np.testing.assert_allclose(float(m1['img_sim_loss']),
+                               float(m8['img_sim_loss']), rtol=5e-3)
+
+
+def test_loss_decreases_over_steps(setup):
+    cfg, model, prediction, batch, state, step_fn = setup
+    jit_step = step_fn
+    losses = []
+    s = state
+    for i in range(5):
+        s, metrics = jit_step(s, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics['loss']))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # same batch repeated: must overfit
+
+
+def test_lr_schedules():
+    got = float(opt_lib.lr_poly(0.1, 500, 1000, warmup_iter=0))
+    np.testing.assert_allclose(got, 0.1 * 0.5 ** 0.9, rtol=1e-6)
+    # Step policy: 10x decays at milestones.
+    np.testing.assert_allclose(float(opt_lib.lr_step(0.1, 0, [320, 560], 0)),
+                               0.1)
+    np.testing.assert_allclose(float(opt_lib.lr_step(0.1, 400, [320, 560], 0)),
+                               0.01, rtol=1e-6)
+    np.testing.assert_allclose(float(opt_lib.lr_step(0.1, 600, [320, 560], 0)),
+                               0.001, rtol=1e-6)
+    # Warmup starts at base/10.
+    np.testing.assert_allclose(float(opt_lib.lr_step(0.1, 0, [320], 100)),
+                               0.01, rtol=1e-6)
+
+
+def test_lr_multiplier_grouping():
+    cfg = _cfg()
+    model = _model(cfg)
+    batch = _batch(b=2)
+    variables = model.init({'params': jax.random.PRNGKey(0)},
+                           batch['image'][:2], None, None, train=False)
+    mults = opt_lib.lr_multipliers(variables['params'])
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(mults)
+    # Backbone conv kernel x1; backbone BN bias x2.
+    assert float(flat[('resnet_backbone', 'conv1', 'kernel')]) == 1.0
+    assert float(flat[('resnet_backbone', 'bn1', 'BatchNorm_0', 'bias')]) == 2.0
+    # Transformer head weights x10, biases x20.
+    head_w = [v for k, v in flat.items()
+              if k[0] == 'fine_hrchy_transformer' and k[-1] == 'kernel']
+    head_b = [v for k, v in flat.items()
+              if k[0] == 'fine_hrchy_transformer' and k[-1] == 'bias']
+    assert all(float(v) == 10.0 for v in head_w)
+    assert all(float(v) == 20.0 for v in head_b)
+    assert float(flat[('fine_query_embed',)]) == 10.0
