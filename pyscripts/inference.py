@@ -1,0 +1,109 @@
+"""Inference: label test images by NN retrieval against the memory bank.
+
+Capability parity with reference `pyscripts/inference/inference.py`:
+sliding-window embeddings -> per-image k-means -> per-segment top-20
+retrieval against the memory prototypes -> majority vote -> per-pixel
+predictions saved as grayscale + colorized PNGs at original resolution.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from PIL import Image
+
+
+def main():
+    from pyscripts.common import parse_args, build_embedding_model
+    args, config = parse_args('Inference for semantic segmentation.')
+
+    import jax
+    import jax.numpy as jnp
+    from hsg_tpu.data import transforms
+    from hsg_tpu.data.dataset import ListDataset
+    from hsg_tpu.eval import memory_bank
+    from hsg_tpu.losses import segsort as segsort_loss
+    from hsg_tpu.ops import common as ops_common
+    from hsg_tpu.train import checkpoint as ckpt_lib
+    from hsg_tpu.utils import vis
+    from pyscripts import eval_common
+
+    semantic_dir = os.path.join(args.save_dir, 'semantic_gray')
+    semantic_rgb_dir = os.path.join(args.save_dir, 'semantic_color')
+    for d in (semantic_dir, semantic_rgb_dir):
+        os.makedirs(d, exist_ok=True)
+    color_map = vis.load_color_map(config.dataset.color_map_path or None)
+
+    k = int(np.prod(config.network.kmeans_num_clusters))
+    config.network.max_segments_per_view = max(
+        config.network.max_segments_per_view, k)
+
+    dataset = ListDataset(
+        args.data_dir or config.dataset.data_dir,
+        args.data_list or config.dataset.test_data_list,
+        img_mean=config.network.pixel_means,
+        img_std=config.network.pixel_stds,
+        size=None, training=False)
+
+    model = build_embedding_model(config, test=True)
+    step = ckpt_lib.latest_step(args.snapshot_dir)
+    assert step is not None, f'no checkpoint in {args.snapshot_dir}'
+    variables = ckpt_lib.restore_variables(args.snapshot_dir, step)
+    embed_fn = eval_common.make_embed_fn(model, variables)
+    cluster_fn = eval_common.make_cluster_fn(model, variables)
+
+    # Memory bank, with ignore-labeled prototypes dropped
+    # (inference.py:96-108).
+    assert args.semantic_memory_dir, '--semantic_memory_dir required'
+    memory, memory_labels = memory_bank.load_memory_banks(
+        args.semantic_memory_dir)
+    keep = memory_labels != config.dataset.semantic_ignore_index
+    memory = jnp.asarray(memory[keep])
+    memory_labels = jnp.asarray(memory_labels[keep])
+
+    @jax.jit
+    def retrieve(cluster_embedding, cluster_index, pixel_valid, seg_valid):
+        s = seg_valid.shape[0]
+        protos = ops_common.calculate_prototypes_from_labels(
+            cluster_embedding, cluster_index, s,
+            pixel_valid.astype(jnp.float32))
+        _, topk_labels = segsort_loss.top_k_ranking(
+            protos, jnp.zeros((s,), jnp.int32), memory, memory_labels, 20)
+        majority = segsort_loss.majority_label_from_topk(
+            topk_labels, config.dataset.num_classes)
+        return majority[cluster_index]
+
+    n = len(dataset)
+    if args.num_images:
+        n = min(n, args.num_images)
+    for idx in range(n):
+        inputs, labels, _ = dataset[idx]
+        orig_h, orig_w = inputs['image'].shape[:2]
+        base = os.path.basename(dataset.image_paths[idx])
+        base = os.path.splitext(base)[0] + '.png'
+
+        image_np, _, (rh, rw) = eval_common.preprocess_image(
+            inputs['image'], None, None, config)
+        canvas, out = eval_common.compute_canvas_and_clusters(
+            embed_fn, cluster_fn, image_np, rh, rw, config)
+        h, w = canvas.shape[:2]
+
+        pred = retrieve(out['cluster_embedding'][0], out['cluster_index'][0],
+                        out['pixel_valid'][0], out['segment_valid'][0])
+        pred = np.asarray(pred).reshape(h, w)[:rh, :rw].astype(np.uint8)
+        pred = transforms._resize(pred, orig_w, orig_h, nearest=True)
+
+        Image.fromarray(pred, mode='L').save(
+            os.path.join(semantic_dir, base))
+        Image.fromarray(vis.convert_label_to_color(pred, color_map)).save(
+            os.path.join(semantic_rgb_dir, base))
+        if (idx + 1) % 50 == 0 or idx == n - 1:
+            print(f'[{idx + 1}/{n}] predictions saved', flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,111 @@
+"""Builds the prototype memory bank from the training split.
+
+Capability parity with reference `pyscripts/inference/prototype.py`:
+sliding-window embeddings -> per-image k-means -> segment prototypes +
+majority ground-truth labels -> one `.npy` per image (plus cluster-index
+and colorized PNGs). This is where training-set GT enters the evaluation
+protocol (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from PIL import Image
+
+
+def main():
+    from pyscripts.common import parse_args, build_embedding_model
+    args, config = parse_args('Inference for generating memory banks.')
+
+    import jax.numpy as jnp
+    from hsg_tpu.data.dataset import ListDataset
+    from hsg_tpu.eval import memory_bank
+    from hsg_tpu.ops import common as ops_common
+    from hsg_tpu.train import checkpoint as ckpt_lib
+    from hsg_tpu.utils import vis
+    from pyscripts import eval_common
+
+    prototype_dir = os.path.join(args.save_dir, 'semantic_prototype')
+    cluster_dir = os.path.join(args.save_dir, 'semantic_cluster')
+    cluster_rgb_dir = os.path.join(args.save_dir, 'semantic_color')
+    for d in (prototype_dir, cluster_dir, cluster_rgb_dir):
+        os.makedirs(d, exist_ok=True)
+    color_map = vis.load_color_map(config.dataset.color_map_path or None)
+
+    # Segment cap must cover the k-means cluster count at eval.
+    k = int(np.prod(config.network.kmeans_num_clusters))
+    config.network.max_segments_per_view = max(
+        config.network.max_segments_per_view, k)
+
+    dataset = ListDataset(
+        args.data_dir or config.dataset.data_dir,
+        args.data_list or config.dataset.train_data_list,
+        img_mean=config.network.pixel_means,
+        img_std=config.network.pixel_stds,
+        size=None, training=False)
+
+    model = build_embedding_model(config, test=True)
+    step = ckpt_lib.latest_step(args.snapshot_dir)
+    assert step is not None, f'no checkpoint in {args.snapshot_dir}'
+    variables = ckpt_lib.restore_variables(args.snapshot_dir, step)
+    embed_fn = eval_common.make_embed_fn(model, variables)
+    cluster_fn = eval_common.make_cluster_fn(model, variables)
+
+    n = len(dataset)
+    if args.num_images:
+        n = min(n, args.num_images)
+    for idx in range(n):
+        inputs, labels, _ = dataset[idx]
+        base = os.path.basename(dataset.image_paths[idx])
+        base = os.path.splitext(base)[0] + '.png'
+
+        image_np, (sem_np, inst_np), (rh, rw) = eval_common.preprocess_image(
+            inputs['image'], labels['semantic_label'],
+            labels['instance_label'], config)
+        canvas, out = eval_common.compute_canvas_and_clusters(
+            embed_fn, cluster_fn, image_np, rh, rw, config)
+
+        seg_valid = np.asarray(out['segment_valid'][0])
+        num_segments = int(seg_valid.sum())
+        s = seg_valid.shape[0]
+
+        # Prototypes over valid pixels.
+        pix_w = out['pixel_valid'][0].astype(jnp.float32)
+        protos = ops_common.calculate_prototypes_from_labels(
+            out['cluster_embedding'][0], out['cluster_index'][0], s, pix_w)
+
+        # Majority GT label per segment (prototype.py:199-202). 256 classes
+        # statically covers semantic ids incl. the 255 ignore label, which
+        # inference later drops (inference.py:96-108).
+        h, w = canvas.shape[:2]
+        sem_canvas = np.full((h, w), config.dataset.semantic_ignore_index,
+                             np.int32)
+        sem_canvas[:rh, :rw] = sem_np
+        _, majority = ops_common.find_majority_label_index(
+            jnp.asarray(sem_canvas).reshape(-1),
+            out['cluster_index'][0], s, 256,
+            valid=out['pixel_valid'][0])
+
+        memory_bank.save_memory_bank(
+            os.path.join(prototype_dir, base.replace('.png', '.npy')),
+            np.asarray(protos)[:num_segments],
+            np.asarray(majority)[:num_segments])
+
+        cluster_index = np.asarray(
+            out['cluster_index'][0]).reshape(h, w)[:rh, :rw]
+        Image.fromarray(cluster_index.astype(np.uint16)).save(
+            os.path.join(cluster_dir, base))
+        Image.fromarray(
+            vis.convert_label_to_color(cluster_index % 256, color_map)).save(
+            os.path.join(cluster_rgb_dir, base))
+        if (idx + 1) % 50 == 0 or idx == n - 1:
+            print(f'[{idx + 1}/{n}] prototypes saved', flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,163 @@
+"""Training script: pixel embeddings via pixel-segment contrastive learning.
+
+Capability parity with reference `pyscripts/train/train.py` — but the whole
+per-iteration orchestration (multi-GPU scatter, prototype gathers, SyncBN)
+is one jitted SPMD step over a `data` mesh (see hsg_tpu/train/train_step.py).
+
+Usage mirrors the reference:
+  python pyscripts/train.py --data_dir D --data_list L \
+      --snapshot_dir S --cfg_path C
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from pyscripts.common import (parse_args, build_embedding_model,
+                                  build_prediction_model, head_multipliers)
+    args, config = parse_args('Training for pixel-wise embeddings.')
+
+    import jax
+    import jax.numpy as jnp
+    from hsg_tpu.data.dataset import SelfsupListDataset
+    from hsg_tpu.data.loader import PrefetchLoader
+    from hsg_tpu.parallel import mesh as mesh_lib
+    from hsg_tpu.train import checkpoint as ckpt_lib
+    from hsg_tpu.train import optimizer as opt_lib
+    from hsg_tpu.train import train_step as ts_lib
+    from hsg_tpu.models import import_torch
+
+    os.makedirs(args.snapshot_dir, exist_ok=True)
+
+    num_devices = len(jax.devices())
+    images_per_step = config.train.batch_size * num_devices
+    num_views = config.network.num_views
+
+    dataset = SelfsupListDataset(
+        args.data_dir or config.dataset.data_dir,
+        args.data_list or config.dataset.train_data_list,
+        img_mean=config.network.pixel_means,
+        img_std=config.network.pixel_stds,
+        size=tuple(config.train.crop_size),
+        random_crop=config.train.random_crop,
+        random_scale=config.train.random_scale,
+        random_mirror=config.train.random_mirror,
+        random_grayscale=config.train.get('random_grayscale', True),
+        random_blur=config.train.get('random_blur', False),
+        training=True)
+    loader = PrefetchLoader(dataset, images_per_step,
+                            shuffle=config.train.shuffle,
+                            num_workers=config.num_threads)
+
+    embedding_model = build_embedding_model(config)
+    prediction_model = build_prediction_model(config)
+
+    sample = next(loader)
+    batch = {
+        'image': jnp.asarray(sample['image']),
+        'semantic_label': jnp.asarray(sample['semantic_label']),
+        'instance_label': jnp.asarray(sample['instance_label']),
+        'image_index': jnp.asarray(
+            np.arange(sample['image'].shape[0]) // num_views, jnp.int32),
+    }
+
+    hw_mult, hb_mult = head_multipliers(config)
+    state, update_fn = ts_lib.create_train_state(
+        embedding_model, jax.random.PRNGKey(235), batch,
+        head_weight_mult=hw_mult, head_bias_mult=hb_mult,
+        momentum=config.train.momentum,
+        weight_decay=config.train.weight_decay)
+
+    # Warm start / resume (train.py:113-131; the reference's resume path is
+    # bit-rotted — fixed here).
+    curr_iter = config.train.begin_iteration
+    if config.train.resume:
+        print(f'Resume training from iteration {curr_iter}')
+        state = ckpt_lib.restore_checkpoint(args.snapshot_dir, curr_iter,
+                                            template=state)
+    elif config.network.pretrained:
+        p = config.network.pretrained
+        print(f'Loading pre-trained model: {p}')
+        if p.endswith('.pth'):
+            variables = import_torch.load_pretrained_backbone(
+                {'params': state.params, 'batch_stats': state.batch_stats}, p)
+            state = state._replace(params=variables['params'],
+                                   batch_stats=variables['batch_stats'])
+        else:
+            prev = ckpt_lib.restore_variables(
+                p, ckpt_lib.latest_step(p))
+            state = state._replace(params=prev['params'],
+                                   batch_stats=prev['batch_stats'])
+    else:
+        print('Training from scratch')
+
+    schedule = opt_lib.schedule_from_config(config)
+    step_fn = jax.jit(ts_lib.make_train_step(
+        embedding_model, prediction_model, schedule, update_fn))
+
+    mesh = mesh_lib.create_mesh()
+    state = mesh_lib.replicate(state, mesh)
+
+    writer = None
+    if config.train.tensorboard_step:
+        try:
+            import tensorboardX
+            writer = tensorboardX.SummaryWriter(logdir=args.snapshot_dir)
+        except Exception:
+            writer = None
+
+    max_iter = config.train.max_iteration
+    if args.max_steps is not None:
+        max_iter = min(max_iter, curr_iter + args.max_steps)
+
+    rng = jax.random.PRNGKey(1235)
+    t0 = time.time()
+    for it in range(curr_iter, max_iter):
+        sharded = mesh_lib.shard_batch(batch, mesh)
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = step_fn(state, sharded, step_rng)
+
+        # Overlap: prepare the next host batch while the device runs.
+        sample = next(loader)
+        batch = {
+            'image': jnp.asarray(sample['image']),
+            'semantic_label': jnp.asarray(sample['semantic_label']),
+            'instance_label': jnp.asarray(sample['instance_label']),
+            'image_index': jnp.asarray(
+                np.arange(sample['image'].shape[0]) // num_views, jnp.int32),
+        }
+
+        if (config.train.tensorboard_step
+                and it % max(1, config.train.tensorboard_step) == 0):
+            vals = {k: float(v) for k, v in metrics.items()}
+            line = ', '.join(f'{k}={v:.4f}' for k, v in sorted(vals.items()))
+            dt = time.time() - t0
+            print(f'[{it}/{max_iter}] {line} ({dt:.1f}s)', flush=True)
+            if writer is not None:
+                for k, v in vals.items():
+                    writer.add_scalar(k, v, it)
+
+        if (config.train.snapshot_step
+                and ((it + 1) % config.train.snapshot_step == 0
+                     or it == max_iter - 1)):
+            path = ckpt_lib.save_checkpoint(args.snapshot_dir, state)
+            print(f'snapshot -> {path}', flush=True)
+
+    if not config.train.snapshot_step:
+        ckpt_lib.save_checkpoint(args.snapshot_dir, state)
+    loader.close()
+    final_loss = float(metrics["loss"]) if max_iter > curr_iter else float("nan")
+    print(f'done: {max_iter - curr_iter} steps, final loss '
+          f'{final_loss:.4f}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,64 @@
+"""End-to-end smoke test: train -> prototype -> inference -> benchmark.
+
+Drives the actual CLI scripts (subprocess) over a synthetic dataset — the
+rebuild's analog of the reference's bash-script integration tests
+(SURVEY.md §4).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from make_synthetic_data import make_dataset
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, *args):
+    env = dict(os.environ, HSG_TPU_PLATFORM='cpu',
+               PYTHONPATH=REPO + ':' + os.environ.get('PYTHONPATH', ''))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'pyscripts', script), *args],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert proc.returncode == 0, (
+        f'{script} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}')
+    return proc.stdout
+
+
+@pytest.mark.slow
+def test_full_pipeline(tmp_path):
+    data = str(tmp_path / 'data')
+    snap = str(tmp_path / 'snap')
+    res = str(tmp_path / 'res')
+    make_dataset(data, n_images=4, size=64)
+    cfg = os.path.join(REPO, 'configs', 'tiny_synthetic.yaml')
+    lst = os.path.join(data, 'list.txt')
+
+    out = _run('train.py', '--data_dir', data, '--data_list', lst,
+               '--snapshot_dir', snap, '--cfg_path', cfg,
+               '--max_steps', '2')
+    assert 'done: 2 steps' in out
+    assert 'nan' not in out
+
+    _run('prototype.py', '--data_dir', data, '--data_list', lst,
+         '--snapshot_dir', snap, '--save_dir', res + '/train',
+         '--kmeans_num_clusters', '3,3', '--label_divisor', '256',
+         '--cfg_path', cfg, '--num_images', '2')
+    protos = os.listdir(res + '/train/semantic_prototype')
+    assert len(protos) == 2
+
+    _run('inference.py', '--data_dir', data, '--data_list', lst,
+         '--snapshot_dir', snap, '--save_dir', res + '/val',
+         '--semantic_memory_dir', res + '/train/semantic_prototype',
+         '--kmeans_num_clusters', '3,3', '--label_divisor', '256',
+         '--cfg_path', cfg, '--num_images', '2')
+    preds = os.listdir(res + '/val/semantic_gray')
+    assert len(preds) == 2
+
+    out = _run('benchmark.py', '--pred_dir', res + '/val/semantic_gray',
+               '--gt_dir', os.path.join(data, 'segcls'),
+               '--num_classes', '4', '--string_replace', '')
+    assert 'mean IOU' in out or 'mean IoU' in out
