@@ -155,10 +155,14 @@ class SegSortLoss:
     validity mask.
     """
 
-    def __init__(self, concentration=10.0, group_mode='segsort+', reduction='mean'):
+    AUTO_CHUNK_THRESHOLD = 8192  # prototypes above this -> chunked scan
+
+    def __init__(self, concentration=10.0, group_mode='segsort+',
+                 reduction='mean', chunk=None):
         self.concentration = concentration
         self.group_mode = group_mode
         self.reduction = reduction
+        self.chunk = chunk
 
     def __repr__(self):
         return (f'SegSortLoss(concentration={self.concentration:.2f}, '
@@ -167,10 +171,23 @@ class SegSortLoss:
     def __call__(self, embeddings, semantic_labels, prototype_ids,
                  prototypes, prototype_semantic_labels,
                  pixel_valid=None, prototype_valid=None):
-        nll = segsort_log_likelihood(
-            embeddings, semantic_labels, prototype_ids, prototypes,
-            prototype_semantic_labels, self.concentration, self.group_mode,
-            prototype_valid, pixel_valid)
+        # Large prototype sets must never materialize [N, G] similarities
+        # (stage-1 scale ~6.6 GB); route through the chunked-scan kernel.
+        chunk = self.chunk
+        if chunk is None and prototypes.shape[0] > self.AUTO_CHUNK_THRESHOLD:
+            chunk = 4096
+        if chunk:
+            from hsg_tpu.losses.nca_chunked import (
+                segsort_log_likelihood_chunked)
+            nll = segsort_log_likelihood_chunked(
+                embeddings, semantic_labels, prototype_ids, prototypes,
+                prototype_semantic_labels, self.concentration,
+                self.group_mode, prototype_valid, pixel_valid, chunk)
+        else:
+            nll = segsort_log_likelihood(
+                embeddings, semantic_labels, prototype_ids, prototypes,
+                prototype_semantic_labels, self.concentration,
+                self.group_mode, prototype_valid, pixel_valid)
         if self.reduction == 'mean':
             return masked_mean(nll, pixel_valid)
         if self.reduction == 'sum':
