@@ -155,9 +155,11 @@ class Hsg:
             px_global = (image_index[:, None] * num_groups + labels_px)
             # Per-segment hierarchy id, aligned with the flat prototype set:
             # slot (view v, seg s) of image i -> group_labels[i, v*S+s].
+            # Indexing uses the STATIC view arrangement (consecutive views);
+            # `image_index` is only label semantics.
+            img_row = jnp.arange(b) // v
             seg_slot = (jnp.arange(b)[:, None] % v) * s + jnp.arange(s)[None, :]
-            seg_group = group_labels[image_index[:, None],
-                                     seg_slot]                        # [B, S]
+            seg_group = group_labels[img_row[:, None], seg_slot]      # [B, S]
             seg_global = (image_index[:, None] * num_groups + seg_group)
             seg_global = jnp.where(datas['segment_valid'], seg_global, -1)
 

@@ -20,10 +20,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _write_image_panels(writer, embedding_model, state, batch, config, it):
+    """Colorized label + PCA-embedding panels, parity with the reference's
+    tensorboard visualization (pyscripts/train/train.py:272-308,
+    hsg/utils/general/vis.py)."""
+    try:
+        import jax
+        from hsg_tpu.utils import vis
+        variables = {'params': jax.device_get(state.params),
+                     'batch_stats': jax.device_get(state.batch_stats)}
+        out = embedding_model.apply(
+            variables, batch['image'][:2],
+            method=lambda m, im: m.generate_embeddings(im))
+        emb = np.asarray(out['embedding'])
+        rgb = vis.embedding_to_rgb(emb)           # [2, h, w, 3]
+        color_map = vis.load_color_map(
+            config.dataset.color_map_path or None)
+        sem = vis.convert_label_to_color(
+            np.asarray(batch['semantic_label'][:2]), color_map)
+        inst = vis.convert_label_to_color(
+            np.asarray(batch['instance_label'][:2]), color_map)
+        for name, img in (('embedding_pca', rgb),
+                          ('semantic_label', sem),
+                          ('instance_label', inst)):
+            writer.add_image(name, img[0].transpose(2, 0, 1), it)
+    except Exception as e:  # vis must never take down training
+        print(f'tensorboard image panel failed: {e}', flush=True)
+
+
 def main():
     from pyscripts.common import (parse_args, build_embedding_model,
                                   build_prediction_model, head_multipliers)
     args, config = parse_args('Training for pixel-wise embeddings.')
+    profile_dir = os.environ.get('HSG_TPU_PROFILE_DIR')
 
     import jax
     import jax.numpy as jnp
@@ -118,6 +147,11 @@ def main():
     if args.max_steps is not None:
         max_iter = min(max_iter, curr_iter + args.max_steps)
 
+    # Rolling prototype memory bank (train.py:328-345 parity; the shipped
+    # recipes run with memory_bank_size=0 so this stays empty).
+    memory_banks = []
+    memory_bank_size = config.train.memory_bank_size
+
     rng = jax.random.PRNGKey(1235)
     t0 = time.time()
     for it in range(curr_iter, max_iter):
@@ -135,6 +169,12 @@ def main():
                 np.arange(sample['image'].shape[0]) // num_views, jnp.int32),
         }
 
+        if profile_dir and it == curr_iter + 2:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir and it == curr_iter + 4:
+            jax.profiler.stop_trace()
+            print(f'profiler trace -> {profile_dir}', flush=True)
+
         if (config.train.tensorboard_step
                 and it % max(1, config.train.tensorboard_step) == 0):
             vals = {k: float(v) for k, v in metrics.items()}
@@ -144,6 +184,8 @@ def main():
             if writer is not None:
                 for k, v in vals.items():
                     writer.add_scalar(k, v, it)
+                _write_image_panels(writer, embedding_model, state,
+                                    batch, config, it)
 
         if (config.train.snapshot_step
                 and ((it + 1) % config.train.snapshot_step == 0

@@ -22,7 +22,7 @@ def _run(script, *args):
                PYTHONPATH=REPO + ':' + os.environ.get('PYTHONPATH', ''))
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, 'pyscripts', script), *args],
-        capture_output=True, text=True, env=env, timeout=900)
+        capture_output=True, text=True, env=env, timeout=3000)
     assert proc.returncode == 0, (
         f'{script} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}')
     return proc.stdout
