@@ -310,6 +310,21 @@ class Segsort:
             seg_sem = jnp.where(
                 datas['segment_valid'],
                 datas['segment_semantic_label'], -1).reshape(-1)
+            # Append memory-bank prototypes behind the live set
+            # (predictions/segsort.py:151-181). Pixels never point at
+            # memory entries, so `global_pid` stays valid.
+            mem_protos = targets.get('memory_prototype')
+            mem_labels = targets.get('memory_prototype_semantic_label')
+            if mem_protos is not None and mem_labels is not None:
+                if isinstance(mem_protos, (list, tuple)):
+                    mem_protos = jnp.concatenate(list(mem_protos), axis=0)
+                    mem_labels = jnp.concatenate(list(mem_labels), axis=0)
+                proto_flat = jnp.concatenate([proto_flat, mem_protos], axis=0)
+                seg_sem = jnp.concatenate(
+                    [seg_sem, mem_labels.reshape(-1)], axis=0)
+                proto_valid = jnp.concatenate(
+                    [proto_valid,
+                     jnp.ones((mem_protos.shape[0],), bool)], axis=0)
             pix_ok = (datas['pixel_valid'].reshape(-1)
                       & (pix_sem < self.num_classes) & (pix_sem >= 0))
             proto_ok = proto_valid & (seg_sem < self.num_classes) & (seg_sem >= 0)
@@ -321,6 +336,34 @@ class Segsort:
             sem_ann_acc, _ = segsort_loss.top_k_ranking(
                 proto_flat, seg_sem, proto_flat, seg_sem, 5,
                 query_valid=proto_ok, prototype_valid=proto_ok)
+
+        if self.sem_occ is not None:
+            # Image-tag co-occurrence loss (predictions/segsort.py:144-209):
+            # multi-hot per-view tags over classes 1..num_classes-1
+            # (background column dropped); each pixel/prototype carries its
+            # view's tag vector. Tags come from targets['semantic_tag']
+            # `[B, num_classes]` or are derived from the GT labels.
+            emb = datas['cluster_embedding']
+            b, p, c = emb.shape
+            proto_flat, proto_valid, global_pid = _flat_global_prototypes(
+                datas)
+            tags = targets.get('semantic_tag')
+            if tags is None:
+                sem_px = datas['cluster_semantic_label']
+                oh = common.one_hot(
+                    jnp.where(datas['pixel_valid'], sem_px, -1),
+                    self.num_classes)
+                tags = (jnp.sum(oh, axis=1) > 0).astype(jnp.int32)
+            tags = tags[:, 1:self.num_classes]                    # [B, k-1]
+            pix_tags = jnp.repeat(tags, p, axis=0)                # [B*P, k-1]
+            s = datas['segment_valid'].shape[1]
+            proto_tags = jnp.repeat(tags, s, axis=0)              # [B*S, k-1]
+            sem_occ_loss = self.sem_occ(
+                emb.reshape(-1, c), pix_tags, global_pid.reshape(-1),
+                proto_flat, proto_tags,
+                pixel_valid=datas['pixel_valid'].reshape(-1),
+                prototype_valid=proto_valid)
+            sem_occ_loss = sem_occ_loss * self.sem_occ_weight
 
         if self.img_sim is not None:
             emb = datas['cluster_embedding_with_loc']

@@ -101,6 +101,63 @@ def sgd(momentum: float = 0.9, weight_decay: float = 0.0,
     return init_fn, update_fn
 
 
+class AdamState(NamedTuple):
+    step: Any
+    exp_avg: Any
+    exp_avg_sq: Any
+
+
+def adam(betas=(0.9, 0.999), eps: float = 1e-8, weight_decay: float = 0.0,
+         multipliers=None, decay_mask=None):
+    """Reference-semantic Adam (lib/nn/optimizer.py:107-179):
+
+      g   = grad + wd * p
+      m   = b1 m + (1 - b1) g ; v = b2 v + (1 - b2) g^2
+      p  -= lr * mult * sqrt(1 - b2^t) / (1 - b1^t) * m / (sqrt(v) + eps)
+
+    `update_fn(grads, state, params, lr)`, matching the SGD pair.
+    """
+    b1, b2 = betas
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return AdamState(step=jnp.zeros((), jnp.int32), exp_avg=zeros,
+                         exp_avg_sq=jax.tree_util.tree_map(
+                             jnp.zeros_like, params))
+
+    def update_fn(grads, state, params, lr):
+        mults = multipliers
+        if mults is None:
+            mults = jax.tree_util.tree_map(lambda _: 1.0, params)
+        mask = decay_mask
+        if mask is None:
+            mask = jax.tree_util.tree_map(lambda _: True, params)
+        step = state.step + 1
+        bc1 = 1.0 - b1 ** step.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** step.astype(jnp.float32)
+
+        def decayed(g, p, use_wd):
+            g = g.astype(jnp.float32)
+            if weight_decay:
+                g = g + jnp.where(use_wd, weight_decay, 0.0) * p
+            return g
+
+        g_wd = jax.tree_util.tree_map(decayed, grads, params, mask)
+        new_m = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.exp_avg, g_wd)
+        new_v = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.exp_avg_sq, g_wd)
+
+        def upd(m, v, mult):
+            step_size = lr * mult * jnp.sqrt(bc2) / bc1
+            return -step_size * m / (jnp.sqrt(v) + eps)
+
+        updates = jax.tree_util.tree_map(upd, new_m, new_v, mults)
+        return updates, AdamState(step=step, exp_avg=new_m, exp_avg_sq=new_v)
+
+    return init_fn, update_fn
+
+
 def clip_grad(grads, clip_val: float):
     """Element-wise gradient clamp, parity with lib/nn/optimizer.py:182."""
     return jax.tree_util.tree_map(

@@ -83,3 +83,26 @@ def test_segsort_losses_run(outputs):
     res = model(out, {}, with_loss=True)
     assert np.isfinite(float(res['sem_ann_loss']))
     assert np.isfinite(float(res['img_sim_loss']))
+
+
+def test_segsort_sem_occ_and_memory_bank(outputs):
+    cfg, out, batch = outputs
+    cfg2 = cfg.copy()
+    cfg2.train.sem_ann_loss_types = 'segsort'
+    cfg2.train.sem_ann_concentration = 8
+    cfg2.train.sem_ann_loss_weight = 1.0
+    cfg2.train.sem_occ_loss_types = 'segsort'
+    cfg2.train.sem_occ_concentration = 8
+    cfg2.train.sem_occ_loss_weight = 0.5
+    model = pred_lib.segsort(cfg2)
+    rng = np.random.default_rng(1)
+    mem = rng.normal(size=(30, out['cluster_embedding'].shape[-1]))
+    mem /= np.linalg.norm(mem, axis=1, keepdims=True)
+    targets = {
+        'memory_prototype': jnp.asarray(mem, jnp.float32),
+        'memory_prototype_semantic_label': jnp.asarray(
+            rng.integers(0, cfg.dataset.num_classes, 30)),
+    }
+    res = model(out, targets, with_loss=True)
+    assert np.isfinite(float(res['sem_ann_loss']))
+    assert np.isfinite(float(res['sem_occ_loss']))
