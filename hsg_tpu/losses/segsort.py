@@ -247,6 +247,9 @@ def top_k_ranking(embeddings: jnp.ndarray,
         preferred_element_type=jnp.float32)
     if prototype_valid is not None:
         affinity = jnp.where(prototype_valid[None, :], affinity, -jnp.inf)
+    # The reference's argsort-slice degrades gracefully when fewer than
+    # top_k prototypes exist (eval.py:33-34); clamp to match.
+    top_k = min(top_k, affinity.shape[1])
     _, top_k_indices = jax.lax.top_k(affinity, top_k)
 
     hits = jnp.equal(labels.reshape(-1, 1),

@@ -18,7 +18,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(script, *args):
+    # Pin to 2 virtual devices: the conftest exports an 8-device XLA_FLAGS
+    # which the subprocess would inherit, scaling the global batch 8x.
     env = dict(os.environ, HSG_TPU_PLATFORM='cpu',
+               XLA_FLAGS='--xla_force_host_platform_device_count=2',
                PYTHONPATH=REPO + ':' + os.environ.get('PYTHONPATH', ''))
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, 'pyscripts', script), *args],
