@@ -155,39 +155,62 @@ class SegSortLoss:
     validity mask.
     """
 
-    AUTO_CHUNK_THRESHOLD = 8192  # prototypes above this -> chunked scan
+    AUTO_CHUNK_THRESHOLD = 8192  # prototypes above this -> tiled impls
 
     def __init__(self, concentration=10.0, group_mode='segsort+',
-                 reduction='mean', chunk=None):
+                 reduction='mean', chunk=None, impl='auto'):
+        """impl: 'auto' (dense below AUTO_CHUNK_THRESHOLD prototypes, else
+        the fused Pallas kernel on TPU / chunked scan elsewhere), 'dense',
+        'chunked', or 'pallas'."""
         self.concentration = concentration
         self.group_mode = group_mode
         self.reduction = reduction
         self.chunk = chunk
+        self.impl = impl
 
     def __repr__(self):
         return (f'SegSortLoss(concentration={self.concentration:.2f}, '
                 f'group_mode={self.group_mode})')
 
-    def __call__(self, embeddings, semantic_labels, prototype_ids,
-                 prototypes, prototype_semantic_labels,
-                 pixel_valid=None, prototype_valid=None):
-        # Large prototype sets must never materialize [N, G] similarities
-        # (stage-1 scale ~6.6 GB); route through the chunked-scan kernel.
-        chunk = self.chunk
-        if chunk is None and prototypes.shape[0] > self.AUTO_CHUNK_THRESHOLD:
-            chunk = 4096
-        if chunk:
-            from hsg_tpu.losses.nca_chunked import (
-                segsort_log_likelihood_chunked)
-            nll = segsort_log_likelihood_chunked(
-                embeddings, semantic_labels, prototype_ids, prototypes,
-                prototype_semantic_labels, self.concentration,
-                self.group_mode, prototype_valid, pixel_valid, chunk)
-        else:
-            nll = segsort_log_likelihood(
+    def _nll(self, embeddings, semantic_labels, prototype_ids, prototypes,
+             prototype_semantic_labels, pixel_valid, prototype_valid):
+        impl = self.impl
+        if impl == 'auto':
+            # Large prototype sets must never materialize [N, G]
+            # similarities (stage-1 scale ~6.6 GB); route to a tiled impl.
+            if self.chunk or (prototypes.shape[0]
+                              > self.AUTO_CHUNK_THRESHOLD):
+                import jax
+                impl = ('pallas' if jax.default_backend() == 'tpu'
+                        else 'chunked')
+            else:
+                impl = 'dense'
+        if impl == 'pallas':
+            from hsg_tpu.ops.pallas.nca_kernel import (
+                segsort_log_likelihood_pallas)
+            return segsort_log_likelihood_pallas(
                 embeddings, semantic_labels, prototype_ids, prototypes,
                 prototype_semantic_labels, self.concentration,
                 self.group_mode, prototype_valid, pixel_valid)
+        if impl == 'chunked':
+            from hsg_tpu.losses.nca_chunked import (
+                segsort_log_likelihood_chunked)
+            return segsort_log_likelihood_chunked(
+                embeddings, semantic_labels, prototype_ids, prototypes,
+                prototype_semantic_labels, self.concentration,
+                self.group_mode, prototype_valid, pixel_valid,
+                self.chunk or 4096)
+        return segsort_log_likelihood(
+            embeddings, semantic_labels, prototype_ids, prototypes,
+            prototype_semantic_labels, self.concentration,
+            self.group_mode, prototype_valid, pixel_valid)
+
+    def __call__(self, embeddings, semantic_labels, prototype_ids,
+                 prototypes, prototype_semantic_labels,
+                 pixel_valid=None, prototype_valid=None):
+        nll = self._nll(embeddings, semantic_labels, prototype_ids,
+                        prototypes, prototype_semantic_labels,
+                        pixel_valid, prototype_valid)
         if self.reduction == 'mean':
             return masked_mean(nll, pixel_valid)
         if self.reduction == 'sum':

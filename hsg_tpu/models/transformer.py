@@ -166,6 +166,7 @@ class Transformer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     normalize_before: bool = False
+    return_intermediate_dec: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -214,13 +215,22 @@ class Transformer(nn.Module):
                                (src.shape[0], t, self.d_model))
 
         out = tgt
+        norm = BatchNorm(name='decoder_norm')
+        intermediates = []
         for i in range(self.num_decoder_layers):
             out = TransformerDecoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.normalize_before, dtype=self.dtype,
                 name=f'decoder_layer_{i}')(
                     out, memory, mask, pos_embed, query_pos, train)
-        out = BatchNorm(name='decoder_norm')(out, train)
+            if self.return_intermediate_dec:
+                intermediates.append(norm(out, train))
+        out = norm(out, train)
+        if self.return_intermediate_dec:
+            # Per-layer normed decoder outputs (transformer.py:192-202);
+            # the final entry is the fully normed last layer.
+            intermediates[-1] = out
+            return jnp.stack(intermediates), memory
         return out, memory
 
 

@@ -109,6 +109,10 @@ def main():
     # bit-rotted — fixed here).
     curr_iter = config.train.begin_iteration
     if config.train.resume:
+        # begin_iteration 0 + resume -> pick the newest snapshot (simple
+        # preemption recovery; the reference has no equivalent).
+        if not curr_iter:
+            curr_iter = ckpt_lib.latest_step(args.snapshot_dir) or 0
         print(f'Resume training from iteration {curr_iter}')
         state = ckpt_lib.restore_checkpoint(args.snapshot_dir, curr_iter,
                                             template=state)
