@@ -36,7 +36,7 @@ def main():
 
     model = fcn_lib.resnet_50_fcn_test(cfg)
 
-    batch = 8
+    batch = 32
     hw = 448
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(size=(batch, hw, hw, 3)), jnp.float32)
