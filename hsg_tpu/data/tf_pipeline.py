@@ -1,0 +1,179 @@
+"""High-throughput tf.data input pipeline (production data path).
+
+The pure-Python loader (hsg_tpu/data/loader.py) tops out around a hundred
+images/s; the TPU train step consumes up to ~1600 views/s (stage-1 @ 224²).
+This pipeline implements the SAME two-view self-supervised augmentation as
+`SelfsupListDataset` (mirror -> scale [0.5, 1.5] -> pad-crop -> photometric
+jitter -> grayscale, unsup_dataset.py:105-151) with tf.data parallel maps +
+prefetch, yielding numpy batch dicts with the same contract (views
+flattened into consecutive batch rows).
+
+Differences from the numpy path (documented, not silent): tf.image's
+contrast/saturation/hue adjustments differ in minor numerical detail from
+torchvision's, and the jitter op order is fixed instead of shuffled.
+TensorFlow is an optional dependency; import of this module fails cleanly
+without it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import tensorflow as tf
+
+tf.config.set_visible_devices([], 'GPU')  # host-only pipeline
+
+from hsg_tpu.data.dataset import read_list_file
+
+
+def _decode_image(path):
+    raw = tf.io.read_file(path)
+    img = tf.image.decode_image(raw, channels=3, expand_animations=False)
+    return tf.cast(img, tf.float32) / 255.0
+
+
+def _decode_label(path):
+    raw = tf.io.read_file(path)
+    lab = tf.image.decode_png(raw, channels=1, dtype=tf.uint16)
+    return tf.cast(lab[..., 0], tf.int32)
+
+
+def _one_view(img, inst, crop, img_mean, seed, cfg):
+    """One independently augmented view; `seed` is a [2] stateless seed."""
+    seeds = tf.random.experimental.stateless_split(seed, num=8)
+    ch, cw = crop
+
+    if cfg['random_mirror']:
+        flip = tf.random.stateless_uniform([], seeds[0]) >= 0.5
+        img = tf.cond(flip, lambda: img[:, ::-1], lambda: img)
+        inst = tf.cond(flip, lambda: inst[:, ::-1], lambda: inst)
+
+    if cfg['random_scale']:
+        ratio = tf.random.stateless_uniform([], seeds[1], 0.5, 1.5)
+        shape = tf.shape(img)
+        nh = tf.cast(tf.cast(shape[0], tf.float32) * ratio, tf.int32)
+        nw = tf.cast(tf.cast(shape[1], tf.float32) * ratio, tf.int32)
+        img = tf.image.resize(img, [nh, nw], method='bilinear')
+        inst = tf.image.resize(inst[..., None], [nh, nw],
+                               method='nearest')[..., 0]
+
+    if cfg['random_crop']:
+        # Pad (image with channel means, labels with 255) then random crop
+        # (transforms.random_crop_with_pad semantics, left-top anchored).
+        shape = tf.shape(img)
+        ph = tf.maximum(ch, shape[0])
+        pw = tf.maximum(cw, shape[1])
+        mean = tf.constant(img_mean, tf.float32)
+        img = tf.pad(img, [[0, ph - shape[0]], [0, pw - shape[1]], [0, 0]])
+        pad_mask = tf.pad(tf.ones(shape[:2]),
+                          [[0, ph - shape[0]], [0, pw - shape[1]]])
+        img = img + (1.0 - pad_mask[..., None]) * mean
+        inst = tf.pad(inst, [[0, ph - shape[0]], [0, pw - shape[1]]],
+                      constant_values=255)
+        oy = tf.random.stateless_uniform(
+            [], seeds[2], 0, tf.maximum(ph - ch, 1), dtype=tf.int32)
+        ox = tf.random.stateless_uniform(
+            [], seeds[3], 0, tf.maximum(pw - cw, 1), dtype=tf.int32)
+        img = img[oy:oy + ch, ox:ox + cw]
+        inst = inst[oy:oy + ch, ox:ox + cw]
+
+    if cfg['random_grayscale']:
+        def jitter(im):
+            im = tf.image.stateless_random_brightness(im, 0.4, seeds[4])
+            im = tf.image.stateless_random_contrast(im, 0.6, 1.4, seeds[5])
+            im = tf.image.stateless_random_saturation(im, 0.6, 1.4, seeds[6])
+            im = tf.image.stateless_random_hue(im, 0.1, seeds[7])
+            return tf.clip_by_value(im, 0.0, 1.0)
+        do_jitter = tf.random.stateless_uniform([], seeds[4]) < 0.8
+        img = tf.cond(do_jitter, lambda: jitter(img), lambda: img)
+        do_gray = tf.random.stateless_uniform([], seeds[5]) < 0.2
+        img = tf.cond(
+            do_gray,
+            lambda: tf.tile(tf.image.rgb_to_grayscale(img), [1, 1, 3]),
+            lambda: img)
+
+    img.set_shape([ch, cw, 3])
+    inst.set_shape([ch, cw])
+    return img, inst
+
+
+def make_selfsup_dataset(data_dir, data_list, crop_size,
+                         img_mean=(0.485, 0.456, 0.406),
+                         img_std=(0.229, 0.224, 0.225),
+                         batch_images=8, num_views=2,
+                         random_mirror=True, random_scale=True,
+                         random_crop=True, random_grayscale=True,
+                         shuffle=True, seed=0):
+    """tf.data.Dataset of collated batches (dict of numpy-convertible
+    tensors): image `[B, H, W, 3]`, semantic_label / instance_label
+    `[B, H, W]`, image_id `[B]` with `B = batch_images * num_views`,
+    consecutive views per image."""
+    images, _, instances = read_list_file(data_dir, data_list)
+    if not instances:
+        instances = [''] * len(images)
+    cfg = dict(random_mirror=random_mirror, random_scale=random_scale,
+               random_crop=random_crop, random_grayscale=random_grayscale)
+    mean = np.asarray(img_mean, np.float32)
+    std = np.asarray(img_std, np.float32)
+    crop = tuple(crop_size)
+
+    ds = tf.data.Dataset.from_tensor_slices(
+        (list(images), list(instances), np.arange(len(images), dtype=np.int32)))
+    ds = ds.repeat()
+    if shuffle:
+        ds = ds.shuffle(min(len(images), 8192), seed=seed,
+                        reshuffle_each_iteration=True)
+    rng = tf.random.Generator.from_seed(seed)
+
+    def load_and_augment(img_path, inst_path, idx):
+        img = _decode_image(img_path)
+        inst = tf.cond(tf.strings.length(inst_path) > 0,
+                       lambda: _decode_label(inst_path),
+                       lambda: tf.zeros(tf.shape(img)[:2], tf.int32))
+        seeds = rng.make_seeds(num_views)
+        views_img, views_inst = [], []
+        for v in range(num_views):
+            vi, vl = _one_view(img, inst, crop, img_mean, seeds[:, v], cfg)
+            vi = (vi - mean) / std
+            views_img.append(vi)
+            views_inst.append(vl)
+        imgs = tf.stack(views_img)                      # [V, H, W, 3]
+        insts = tf.stack(views_inst)
+        sems = tf.zeros_like(insts)                     # unsup: no GT
+        ids = tf.fill([num_views], idx)
+        return imgs, sems, insts, ids
+
+    ds = ds.map(load_and_augment, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.batch(batch_images, drop_remainder=True)
+
+    def collate(imgs, sems, insts, ids):
+        b = batch_images * num_views
+        return {
+            'image': tf.reshape(imgs, [b, crop[0], crop[1], 3]),
+            'semantic_label': tf.reshape(sems, [b, crop[0], crop[1]]),
+            'instance_label': tf.reshape(insts, [b, crop[0], crop[1]]),
+            'image_id': tf.reshape(ids, [b]),
+        }
+
+    ds = ds.map(collate, num_parallel_calls=tf.data.AUTOTUNE)
+    return ds.prefetch(tf.data.AUTOTUNE)
+
+
+class TfDataLoader:
+    """Iterator facade matching `PrefetchLoader`'s contract."""
+
+    def __init__(self, data_dir, data_list, crop_size, batch_images,
+                 **kwargs):
+        self._ds = make_selfsup_dataset(
+            data_dir, data_list, crop_size, batch_images=batch_images,
+            **kwargs)
+        self._it = self._ds.as_numpy_iterator()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._it)
+
+    def close(self):
+        pass

@@ -70,21 +70,37 @@ def main():
     images_per_step = config.train.batch_size * num_devices
     num_views = config.network.num_views
 
-    dataset = SelfsupListDataset(
-        args.data_dir or config.dataset.data_dir,
-        args.data_list or config.dataset.train_data_list,
-        img_mean=config.network.pixel_means,
-        img_std=config.network.pixel_stds,
-        size=tuple(config.train.crop_size),
-        random_crop=config.train.random_crop,
-        random_scale=config.train.random_scale,
-        random_mirror=config.train.random_mirror,
-        random_grayscale=config.train.get('random_grayscale', True),
-        random_blur=config.train.get('random_blur', False),
-        training=True)
-    loader = PrefetchLoader(dataset, images_per_step,
-                            shuffle=config.train.shuffle,
-                            num_workers=config.num_threads)
+    data_dir = args.data_dir or config.dataset.data_dir
+    data_list = args.data_list or config.dataset.train_data_list
+    if config.train.get('data_pipeline', 'python') == 'tf':
+        # High-throughput tf.data path (hsg_tpu/data/tf_pipeline.py).
+        from hsg_tpu.data.tf_pipeline import TfDataLoader
+        loader = TfDataLoader(
+            data_dir, data_list, tuple(config.train.crop_size),
+            batch_images=images_per_step,
+            img_mean=tuple(config.network.pixel_means),
+            img_std=tuple(config.network.pixel_stds),
+            num_views=num_views,
+            random_mirror=config.train.random_mirror,
+            random_scale=config.train.random_scale,
+            random_crop=config.train.random_crop,
+            random_grayscale=config.train.get('random_grayscale', True),
+            shuffle=config.train.shuffle)
+    else:
+        dataset = SelfsupListDataset(
+            data_dir, data_list,
+            img_mean=config.network.pixel_means,
+            img_std=config.network.pixel_stds,
+            size=tuple(config.train.crop_size),
+            random_crop=config.train.random_crop,
+            random_scale=config.train.random_scale,
+            random_mirror=config.train.random_mirror,
+            random_grayscale=config.train.get('random_grayscale', True),
+            random_blur=config.train.get('random_blur', False),
+            training=True)
+        loader = PrefetchLoader(dataset, images_per_step,
+                                shuffle=config.train.shuffle,
+                                num_workers=config.num_threads)
 
     embedding_model = build_embedding_model(config)
     prediction_model = build_prediction_model(config)
