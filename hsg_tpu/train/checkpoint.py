@@ -51,6 +51,41 @@ def restore_variables(snapshot_dir: str, step: int) -> dict:
     return {'params': state.params, 'batch_stats': state.batch_stats}
 
 
+def partial_overlay(variables: dict, prev: dict) -> dict:
+    """Shape-checked partial load: copies every leaf of `prev` that exists
+    in `variables` with a matching shape, warning about the rest.
+
+    Parity with the reference's tolerant checkpoint loading
+    (hsg/models/embeddings/base_model.py:26-52) — this is what lets the
+    stage-2 HSG model warm-start from a stage-1 plain-FCN snapshot (the
+    transformer heads stay freshly initialized).
+    """
+    import warnings
+
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    flat_dst = traverse_util.flatten_dict(variables)
+    flat_src = traverse_util.flatten_dict(prev)
+    loaded = 0
+    for path, value in flat_src.items():
+        if path not in flat_dst:
+            warnings.warn(f'unexpected key {"/".join(map(str, path))} '
+                          'in checkpoint')
+            continue
+        if tuple(flat_dst[path].shape) != tuple(value.shape):
+            warnings.warn(f'shape mismatch at {"/".join(map(str, path))}: '
+                          f'{flat_dst[path].shape} vs {value.shape}')
+            continue
+        flat_dst[path] = jnp.asarray(value, flat_dst[path].dtype)
+        loaded += 1
+    missing = set(flat_dst) - set(flat_src)
+    if missing:
+        warnings.warn(f'{len(missing)} keys missing from checkpoint '
+                      '(left at init)')
+    return traverse_util.unflatten_dict(flat_dst)
+
+
 def latest_step(snapshot_dir: str) -> int | None:
     """Largest saved iteration in a snapshot dir."""
     if not os.path.isdir(snapshot_dir):

@@ -141,10 +141,12 @@ def main():
             state = state._replace(params=variables['params'],
                                    batch_stats=variables['batch_stats'])
         else:
-            prev = ckpt_lib.restore_variables(
-                p, ckpt_lib.latest_step(p))
-            state = state._replace(params=prev['params'],
-                                   batch_stats=prev['batch_stats'])
+            prev = ckpt_lib.restore_variables(p, ckpt_lib.latest_step(p))
+            merged = ckpt_lib.partial_overlay(
+                {'params': state.params, 'batch_stats': state.batch_stats},
+                prev)
+            state = state._replace(params=merged['params'],
+                                   batch_stats=merged['batch_stats'])
     else:
         print('Training from scratch')
 

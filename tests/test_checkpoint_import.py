@@ -112,3 +112,31 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(restored.params)
     for x1, x2 in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_partial_overlay_cross_model():
+    """FCN snapshot -> HSG model: shared subtrees load, heads stay init."""
+    import warnings
+    from hsg_tpu.models import fcn as fcn_lib, hsg as hsg_lib
+
+    fcn = fcn_lib.ResnetFcn(backbone_depth=(1, 1, 1, 1), embedding_dim=16,
+                            kmeans_num_clusters=(2, 2), kmeans_iterations=1,
+                            max_segments=8)
+    hsg = hsg_lib.MultiviewResnetFcn(
+        backbone_depth=(1, 1, 1, 1), embedding_dim=16,
+        kmeans_num_clusters=(2, 2), kmeans_iterations=1, max_segments=8,
+        num_views=2, fine_hrchy_clusters=3, coarse_hrchy_clusters=2)
+    imgs = jnp.ones((2, 32, 32, 3))
+    v_fcn = fcn.init(jax.random.PRNGKey(0), imgs)
+    v_hsg = hsg.init(jax.random.PRNGKey(1), imgs)
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        merged = ckpt_lib.partial_overlay(
+            {'params': v_hsg['params'], 'batch_stats': v_hsg['batch_stats']},
+            {'params': v_fcn['params'], 'batch_stats': v_fcn['batch_stats']})
+    # Backbone copied from the FCN snapshot.
+    np.testing.assert_array_equal(
+        np.asarray(merged['params']['resnet_backbone']['conv1']['kernel']),
+        np.asarray(v_fcn['params']['resnet_backbone']['conv1']['kernel']))
+    # Transformer heads remain at the HSG init.
+    assert 'fine_hrchy_transformer' in merged['params']
