@@ -50,6 +50,26 @@ def reorder_image_indices(image_indices: jnp.ndarray,
     return rank[mu.inverse]
 
 
+def cluster_mapping(cluster_indices_1: jnp.ndarray,
+                    cluster_indices_2: jnp.ndarray,
+                    max_index_1: int,
+                    valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Mapping table from level-1 cluster ids to level-2 cluster ids.
+
+    Parity with reference `gather_and_update_cluster_mappings`
+    (utils.py:78-124): e.g. c1 = [0, 1, 2, 1, 3], c2 = [2, 5, 1, 5, 5]
+    -> [2, 5, 1, 5, ...]. In the SPMD design this table is usually implicit
+    (hierarchy ids are derived arithmetically, see predictions.py), but the
+    explicit table remains useful for analysis/visualization.
+    """
+    c1 = cluster_indices_1.reshape(-1)
+    c2 = cluster_indices_2.reshape(-1).astype(jnp.int32)
+    if valid is not None:
+        c1 = jnp.where(valid.reshape(-1), c1, max_index_1)
+    table = jnp.zeros((max_index_1,), jnp.int32)
+    return table.at[c1].set(c2, mode='drop')
+
+
 def multiset_labels_by_nearest_neighbor(embeddings: jnp.ndarray,
                                         prototypes: jnp.ndarray,
                                         prototype_semantic_labels: jnp.ndarray,

@@ -73,11 +73,16 @@ def kmeans(embeddings: jnp.ndarray, num_clusters, iterations: int = 10) -> jnp.n
 
 
 def _grid_num_labels(num_clusters, img_dimensions) -> int:
-    """Static label count of the grid initialization: (max_y + 1) * kx'."""
+    """Static label count of the grid initialization.
+
+    linspace(0, k-1, n) always contains the endpoint k-1 for n >= 2, so the
+    y-stride (max_y + 1) equals ky whenever H > 1 (and 1 for H == 1);
+    likewise for x.
+    """
     ky, kx = num_clusters
     h, w = img_dimensions
-    eff_ky = min(ky, h)
-    eff_kx = min(kx, w)
+    eff_ky = ky if h > 1 else 1
+    eff_kx = kx if w > 1 else 1
     return eff_ky * eff_kx
 
 

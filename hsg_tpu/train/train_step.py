@@ -51,12 +51,13 @@ def create_train_state(embedding_model, rng, sample_batch,
 
 
 def make_train_step(embedding_model, prediction_model, schedule,
-                    update_fn) -> Callable:
+                    update_fn, grad_clip: float | None = None) -> Callable:
     """Builds the pure train-step function (jit it with shardings).
 
     batch: dict with 'image' `[B, H, W, 3]`, 'semantic_label' /
     'instance_label' `[B, H, W]`, 'image_index' `[B]`; arranged as
-    num_views consecutive views per image.
+    num_views consecutive views per image. `grad_clip` applies the
+    reference's element-wise clamp (lib/nn/optimizer.py:182).
     """
 
     def train_step(state: TrainState, batch, dropout_rng):
@@ -81,6 +82,8 @@ def make_train_step(embedding_model, prediction_model, schedule,
 
         (loss, (new_stats, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if grad_clip:
+            grads = opt_lib.clip_grad(grads, grad_clip)
         lr = schedule(state.step)
         updates, new_opt_state = update_fn(
             grads, state.opt_state, state.params, lr)

@@ -152,7 +152,8 @@ def main():
 
     schedule = opt_lib.schedule_from_config(config)
     step_fn = jax.jit(ts_lib.make_train_step(
-        embedding_model, prediction_model, schedule, update_fn))
+        embedding_model, prediction_model, schedule, update_fn,
+        grad_clip=config.train.get('grad_clip')))
 
     mesh = mesh_lib.create_mesh()
     state = mesh_lib.replicate(state, mesh)
