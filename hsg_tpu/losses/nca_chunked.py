@@ -19,8 +19,6 @@ it. Peak memory is O(N * chunk); compute stays on the MXU.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -43,8 +43,6 @@ flattened view-batch, `P` pixels/view, `S` segments/view, `M = V * S`,
 
 from __future__ import annotations
 
-from typing import Any, Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

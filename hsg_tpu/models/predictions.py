@@ -19,8 +19,6 @@ These reproduce the reference's partition exactly up to renumbering.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

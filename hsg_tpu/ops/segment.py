@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 # Sentinel for invalid keys; sorts after every real key. Keys are int32

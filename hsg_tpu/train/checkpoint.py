@@ -11,7 +11,6 @@ momentum, and the step counter.
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import orbax.checkpoint as ocp

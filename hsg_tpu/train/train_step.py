@@ -11,12 +11,10 @@ shardings.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-from flax.core import freeze, unfreeze
 
 from hsg_tpu.train import optimizer as opt_lib
 

@@ -8,8 +8,6 @@ canvas, then per-image k-means clustering with padding marked ignore.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 
