@@ -8,6 +8,10 @@ PyTorch implementation has no published throughput; `vs_baseline` is
 computed against REFERENCE_IMG_S, an estimate of the reference pipeline
 on one V100 (ResNet-50 OS-8 448² forward + serialized per-image EM).
 
+Timing chains ITERS dependent iterations inside one jitted scan and does a
+single host readback, so the number is robust to dispatch/transfer latency
+(relevant on tunneled TPU runtimes).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -17,6 +21,7 @@ import time
 import numpy as np
 
 REFERENCE_IMG_S = 30.0  # est. PyTorch reference, single GPU, 448² OS-8
+ITERS = 10
 
 
 def main():
@@ -45,21 +50,19 @@ def main():
                            train=False)
 
     @jax.jit
-    def infer(images):
-        out = model.apply(variables, images, None, None, train=False)
-        return out['cluster_index'], out['cluster_embedding']
+    def chained(images):
+        def body(carry, _):
+            out = model.apply(variables, images + carry * 1e-12, None, None,
+                              train=False)
+            return out['cluster_index'].sum().astype(jnp.float32), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
+        return c
 
-    # Warmup / compile.
-    jax.block_until_ready(infer(images))
-    jax.block_until_ready(infer(images))
-
-    iters = 10
+    float(chained(images))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        res = infer(images)
-    jax.block_until_ready(res)
-    dt = time.perf_counter() - t0
-    img_s = batch * iters / dt
+    float(chained(images))
+    dt = (time.perf_counter() - t0) / ITERS
+    img_s = batch / dt
 
     print(json.dumps({
         'metric': '448x448 ResNet50-OS8 inference + spherical k-means',

@@ -29,8 +29,10 @@ class TrainState(NamedTuple):
 
 def create_train_state(embedding_model, rng, sample_batch,
                        head_weight_mult=10.0, head_bias_mult=20.0,
-                       momentum=0.9, weight_decay=1e-4):
-    """Initializes params/batch-stats and the optimizer."""
+                       momentum=0.9, weight_decay=1e-4,
+                       optimizer: str = 'sgd'):
+    """Initializes params/batch-stats and the optimizer ('sgd' or 'adam',
+    both with the reference's per-group LR-multiplier semantics)."""
     variables = embedding_model.init(
         {'params': rng, 'dropout': rng},
         sample_batch['image'], sample_batch.get('semantic_label'),
@@ -39,7 +41,11 @@ def create_train_state(embedding_model, rng, sample_batch,
     batch_stats = variables.get('batch_stats', {})
     mults = opt_lib.lr_multipliers(params, head_weight_mult, head_bias_mult)
     mask = opt_lib.weight_decay_mask(params)
-    init_fn, update_fn = opt_lib.sgd(momentum, weight_decay, mults, mask)
+    if optimizer == 'adam':
+        init_fn, update_fn = opt_lib.adam(
+            weight_decay=weight_decay, multipliers=mults, decay_mask=mask)
+    else:
+        init_fn, update_fn = opt_lib.sgd(momentum, weight_decay, mults, mask)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

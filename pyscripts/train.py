@@ -119,7 +119,8 @@ def main():
         embedding_model, jax.random.PRNGKey(235), batch,
         head_weight_mult=hw_mult, head_bias_mult=hb_mult,
         momentum=config.train.momentum,
-        weight_decay=config.train.weight_decay)
+        weight_decay=config.train.weight_decay,
+        optimizer=config.train.get('optimizer', 'sgd'))
 
     # Warm start / resume (train.py:113-131; the reference's resume path is
     # bit-rotted — fixed here).
@@ -170,11 +171,10 @@ def main():
     if args.max_steps is not None:
         max_iter = min(max_iter, curr_iter + args.max_steps)
 
-    # Rolling prototype memory bank (train.py:328-345 parity; the shipped
-    # recipes run with memory_bank_size=0 so this stays empty).
-    memory_banks = []
-    memory_bank_size = config.train.memory_bank_size
-
+    # Note: the reference's rolling prototype memory bank
+    # (train.py:328-345) runs with memory_bank_size=0 in every shipped
+    # recipe; the consumer side (Segsort.losses memory_* targets) is
+    # implemented, trainer-side accumulation lands when a recipe uses it.
     rng = jax.random.PRNGKey(1235)
     t0 = time.time()
     for it in range(curr_iter, max_iter):
