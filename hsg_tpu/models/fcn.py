@@ -63,12 +63,14 @@ class ResnetFcn(nn.Module):
     kmeans_num_clusters: Sequence[int] = (5, 5)
     kmeans_iterations: int = 10
     max_segments: int = 128
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.resnet_backbone = ResNetBackbone(
             tuple(self.backbone_depth), tuple(self.strides),
-            tuple(self.dilations), dtype=self.dtype, name='resnet_backbone')
+            tuple(self.dilations), remat=self.remat, dtype=self.dtype,
+            name='resnet_backbone')
         self.conv_out = EmbeddingHead(self.embedding_dim, dtype=self.dtype,
                                       name='conv_out')
         self.lfn = LocationColorNetwork(use_color=False, use_location=True,
@@ -159,6 +161,7 @@ def _build(depth, strides, dilations, config):
         kmeans_num_clusters=tuple(net.kmeans_num_clusters),
         kmeans_iterations=net.kmeans_iterations,
         max_segments=net.max_segments_per_view,
+        remat=bool(net.get('remat', False)),
         dtype=jnp.bfloat16 if net.get('compute_dtype') == 'bfloat16'
         else jnp.float32)
 

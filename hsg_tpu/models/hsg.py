@@ -253,6 +253,7 @@ def _build_multiview(depth, strides, dilations, config):
         kmeans_num_clusters=tuple(net.kmeans_num_clusters),
         kmeans_iterations=net.kmeans_iterations,
         max_segments=net.max_segments_per_view,
+        remat=bool(net.get('remat', False)),
         num_views=net.num_views,
         fine_hrchy_clusters=config.train.fine_hrchy_clusters,
         coarse_hrchy_clusters=config.train.coarse_hrchy_clusters,

@@ -82,3 +82,59 @@ def compute_canvas_and_clusters(embed_fn, cluster_fn, image_np, rh, rw,
     out = cluster_fn(canvas[None], jnp.asarray(fake_sem)[None],
                      jnp.asarray(fake_inst)[None])
     return canvas, out
+
+
+def compute_canvas_tta(embed_fn, cluster_fn, image_np, rh, rw, config,
+                       scales, use_flip):
+    """Multi-scale (+ horizontal flip) TTA canvas + clustering.
+
+    The reference ships a `test.scales` config knob (default.py:88) and an
+    image-pyramid helper (general/others.py:10-47) that its inference
+    script never uses; here they are wired end-to-end: per (scale, flip)
+    variant, sliding-window embeddings are computed, un-flipped, resized to
+    the base resolution and averaged before clustering.
+    """
+    import jax
+    import jax.numpy as jnp
+    from hsg_tpu.data import transforms
+    from hsg_tpu.eval import sliding
+    from hsg_tpu.ops import common as ops_common
+
+    crop = tuple(config.test.crop_size)
+    stride = tuple(config.test.stride)
+    total = None
+    count = 0
+    for scale in scales:
+        if scale == 1.0:
+            scaled = image_np
+        else:
+            h, w = image_np.shape[:2]
+            scaled = transforms._resize(image_np, int(round(w * scale)),
+                                        int(round(h * scale)), nearest=False)
+        for flip in ((False, True) if use_flip else (False,)):
+            im = scaled[:, ::-1].copy() if flip else scaled
+            im = transforms.resize_with_pad(im, crop, 0)
+            canvas = sliding.sliding_window_embeddings(
+                embed_fn, jnp.asarray(im, jnp.float32), crop, stride)
+            sh, sw = scaled.shape[:2]
+            c = canvas[:sh, :sw]
+            if flip:
+                c = c[:, ::-1]
+            c = jax.image.resize(c[None], (1, rh, rw, c.shape[-1]),
+                                 method='bilinear')[0]
+            c = ops_common.normalize_embedding(c)
+            total = c if total is None else total + c
+            count += 1
+    avg = total / count
+    # Pad back to crop for the (static-shape) clustering program.
+    h, w = avg.shape[:2]
+    pad_h = max(crop[0], h) - h
+    pad_w = max(crop[1], w) - w
+    avg = jnp.pad(avg, ((0, pad_h), (0, pad_w), (0, 0)))
+    ph, pw = avg.shape[:2]
+    ignore = config.dataset.semantic_ignore_index
+    fake = np.full((ph, pw), ignore, np.int32)
+    fake[:rh, :rw] = 0
+    out = cluster_fn(avg[None], jnp.asarray(fake)[None],
+                     jnp.asarray(fake)[None])
+    return avg, out

@@ -88,8 +88,15 @@ def main():
 
         image_np, _, (rh, rw) = eval_common.preprocess_image(
             inputs['image'], None, None, config)
-        canvas, out = eval_common.compute_canvas_and_clusters(
-            embed_fn, cluster_fn, image_np, rh, rw, config)
+        scales = [s for s in config.test.get('scales', (0,)) if s]
+        use_flip = bool(config.test.get('flip', False))
+        if scales and (scales != [1.0] or use_flip):
+            canvas, out = eval_common.compute_canvas_tta(
+                embed_fn, cluster_fn, image_np, rh, rw, config,
+                scales, use_flip)
+        else:
+            canvas, out = eval_common.compute_canvas_and_clusters(
+                embed_fn, cluster_fn, image_np, rh, rw, config)
         h, w = canvas.shape[:2]
 
         pred = retrieve(out['cluster_embedding'][0], out['cluster_index'][0],
