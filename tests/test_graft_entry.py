@@ -1,0 +1,19 @@
+"""Guards the driver contract: entry() shape-checks, dryrun executes."""
+
+import jax
+import pytest
+
+import __graft_entry__ as graft
+
+
+def test_entry_is_jittable_shapewise():
+    fn, args = graft.entry()
+    out = jax.eval_shape(fn, *args)
+    assert out['embedding'].shape == (4, 14, 14, 128)
+    assert out['nd_prototype'].shape == (2, 256, 128)
+    assert out['finehrchy_cluster_index'].shape[0] == 4
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8():
+    graft.dryrun_multichip(8)
