@@ -2,8 +2,11 @@
 
 Reproduces the validation in docs/DESIGN.md: generates a synthetic
 dataset, trains stage-1 (img_sim only), optionally fine-tunes stage-2
-(full HSG), then runs prototype -> inference -> mIoU. On one TPU v5e this
-takes ~15 min for stage 1 (~half of it graph compilation).
+(full HSG), then runs prototype -> inference -> mIoU. On one TPU v5e the
+two stages take ~35 min wall total at the default step counts, most of it
+graph compilation (each stage compiles its own train/eval programs; slow
+hosts or tunneled runtimes pay several minutes per compile). Pass
+--stage2_steps 0 for the ~15-min stage-1-only run.
 
 Usage:
   python pyscripts/demo.py --workdir /tmp/hsg_demo [--steps 3000]
