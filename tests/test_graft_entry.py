@@ -1,5 +1,7 @@
 """Guards the driver contract: entry() shape-checks, dryrun executes."""
 
+import os
+
 import jax
 import pytest
 
@@ -15,5 +17,8 @@ def test_entry_is_jittable_shapewise():
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get('HSG_RUN_SLOW'),
+                    reason='driver runs dryrun_multichip itself; set '
+                           'HSG_RUN_SLOW=1 to include it in pytest')
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
