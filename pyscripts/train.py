@@ -152,9 +152,12 @@ def main():
         print('Training from scratch')
 
     schedule = opt_lib.schedule_from_config(config)
+    # donate_argnums=(0,): the previous TrainState's buffers are reused for
+    # the new one in place, avoiding a second copy of params + momentum in
+    # HBM (the host never touches the stale state).
     step_fn = jax.jit(ts_lib.make_train_step(
         embedding_model, prediction_model, schedule, update_fn,
-        grad_clip=config.train.get('grad_clip')))
+        grad_clip=config.train.get('grad_clip')), donate_argnums=(0,))
 
     mesh = mesh_lib.create_mesh()
     state = mesh_lib.replicate(state, mesh)
