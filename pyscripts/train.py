@@ -105,14 +105,18 @@ def main():
     embedding_model = build_embedding_model(config)
     prediction_model = build_prediction_model(config)
 
-    sample = next(loader)
-    batch = {
-        'image': jnp.asarray(sample['image']),
-        'semantic_label': jnp.asarray(sample['semantic_label']),
-        'instance_label': jnp.asarray(sample['instance_label']),
-        'image_index': jnp.asarray(
-            np.arange(sample['image'].shape[0]) // num_views, jnp.int32),
-    }
+    def to_batch(sample):
+        # Keep host numpy until shard_batch places it directly onto the
+        # mesh (avoids a device-0 staging copy + reshard).
+        return {
+            'image': np.asarray(sample['image'], np.float32),
+            'semantic_label': np.asarray(sample['semantic_label'], np.int32),
+            'instance_label': np.asarray(sample['instance_label'], np.int32),
+            'image_index': (np.arange(sample['image'].shape[0])
+                            // num_views).astype(np.int32),
+        }
+
+    batch = to_batch(next(loader))
 
     hw_mult, hb_mult = head_multipliers(config)
     state, update_fn = ts_lib.create_train_state(
@@ -186,14 +190,7 @@ def main():
         state, metrics = step_fn(state, sharded, step_rng)
 
         # Overlap: prepare the next host batch while the device runs.
-        sample = next(loader)
-        batch = {
-            'image': jnp.asarray(sample['image']),
-            'semantic_label': jnp.asarray(sample['semantic_label']),
-            'instance_label': jnp.asarray(sample['instance_label']),
-            'image_index': jnp.asarray(
-                np.arange(sample['image'].shape[0]) // num_views, jnp.int32),
-        }
+        batch = to_batch(next(loader))
 
         if profile_dir and it == curr_iter + 2:
             jax.profiler.start_trace(profile_dir)
