@@ -243,6 +243,16 @@ class Segsort:
         self.img_sim = (segsort_loss.SegSortLoss(t.img_sim_concentration)
                         if t.img_sim_loss_types == 'segsort' else None)
         self.img_sim_weight = t.img_sim_loss_weight
+        # Feature-affinity regularization: a SetSegSort over NN pseudo-
+        # labels. The reference constructs this loss (predictions/
+        # segsort.py:41-47, converting 'segsort' -> set_segsort) and ships
+        # the pseudo-label generator (models/utils.py:243-309); here the
+        # loss is also wired into `losses()`.
+        self.feat_aff = (segsort_loss.SetSegSortLoss(t.feat_aff_concentration)
+                         if t.feat_aff_loss_types == 'segsort' else None)
+        self.feat_aff_weight = t.feat_aff_loss_weight
+        self.feat_aff_top_k = int(t.get('feat_aff_top_k', 3))
+        self.feat_aff_threshold = float(t.get('feat_aff_threshold', 0.95))
         self.num_classes = config.dataset.num_classes
         self.label_divisor = config.network.label_divisor
         self.semantic_ignore_index = config.dataset.semantic_ignore_index
@@ -314,15 +324,19 @@ class Segsort:
             mem_protos = targets.get('memory_prototype')
             mem_labels = targets.get('memory_prototype_semantic_label')
             if mem_protos is not None and mem_labels is not None:
+                mem_valid = targets.get('memory_prototype_valid')
                 if isinstance(mem_protos, (list, tuple)):
                     mem_protos = jnp.concatenate(list(mem_protos), axis=0)
                     mem_labels = jnp.concatenate(list(mem_labels), axis=0)
+                    if mem_valid is not None:
+                        mem_valid = jnp.concatenate(list(mem_valid), axis=0)
+                if mem_valid is None:
+                    mem_valid = jnp.ones((mem_protos.shape[0],), bool)
                 proto_flat = jnp.concatenate([proto_flat, mem_protos], axis=0)
                 seg_sem = jnp.concatenate(
                     [seg_sem, mem_labels.reshape(-1)], axis=0)
                 proto_valid = jnp.concatenate(
-                    [proto_valid,
-                     jnp.ones((mem_protos.shape[0],), bool)], axis=0)
+                    [proto_valid, mem_valid.reshape(-1)], axis=0)
             pix_ok = (datas['pixel_valid'].reshape(-1)
                       & (pix_sem < self.num_classes) & (pix_sem >= 0))
             proto_ok = proto_valid & (seg_sem < self.num_classes) & (seg_sem >= 0)
@@ -363,6 +377,43 @@ class Segsort:
                 prototype_valid=proto_valid)
             sem_occ_loss = sem_occ_loss * self.sem_occ_weight
 
+        feat_aff_loss = None
+        if self.feat_aff is not None:
+            # SetSegSort over nearest-neighbor pseudo-labels: each pixel /
+            # prototype gets a multi-hot tag of the classes of its top-k
+            # most-similar labeled segments in the SAME batch element
+            # (generator: models/utils.py:243-309; loss construction:
+            # predictions/segsort.py:41-47).
+            from hsg_tpu.models import model_utils
+            emb = datas['cluster_embedding']
+            b, p, c = emb.shape
+            s = datas['segment_valid'].shape[1]
+            proto_flat, proto_valid, global_pid = _flat_global_prototypes(
+                datas)
+            seg_sem = jnp.where(
+                datas['segment_valid'],
+                datas['segment_semantic_label'], -1).reshape(-1)
+            # Route unlabeled (<0) segments out of the generator: it keeps
+            # only prototypes with label < num_classes.
+            gen_sem = jnp.where(seg_sem >= 0, seg_sem, self.num_classes)
+            pix_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+            seg_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), s)
+            pseudo = lambda q, qb: jax.lax.stop_gradient(
+                model_utils.multiset_labels_by_nearest_neighbor(
+                    q, proto_flat, gen_sem, qb, seg_batch,
+                    num_classes=self.num_classes,
+                    top_k=self.feat_aff_top_k,
+                    threshold=self.feat_aff_threshold,
+                    prototype_valid=proto_valid))
+            pix_tags = pseudo(emb.reshape(-1, c), pix_batch)
+            proto_tags = pseudo(proto_flat, seg_batch)
+            feat_aff_loss = self.feat_aff(
+                emb.reshape(-1, c), pix_tags, global_pid.reshape(-1),
+                proto_flat, proto_tags,
+                pixel_valid=datas['pixel_valid'].reshape(-1),
+                prototype_valid=proto_valid)
+            feat_aff_loss = feat_aff_loss * self.feat_aff_weight
+
         if self.img_sim is not None:
             emb = datas['cluster_embedding_with_loc']
             b, p, c = emb.shape
@@ -386,7 +437,8 @@ class Segsort:
                 datas['pixel_valid'], datas['segment_valid'])
             img_sim_loss = jnp.mean(per) * self.img_sim_weight
 
-        return sem_ann_loss, sem_occ_loss, img_sim_loss, sem_ann_acc
+        return (sem_ann_loss, sem_occ_loss, img_sim_loss, feat_aff_loss,
+                sem_ann_acc)
 
     def __call__(self, datas, targets=None, with_loss=True,
                  with_prediction=False):
@@ -396,10 +448,12 @@ class Segsort:
             outputs.update({'semantic_prediction': pred,
                             'semantic_score': topk})
         if with_loss:
-            sem_ann, sem_occ, img_sim, acc = self.losses(datas, targets)
+            sem_ann, sem_occ, img_sim, feat_aff, acc = self.losses(
+                datas, targets)
             outputs.update({'sem_ann_loss': sem_ann,
                             'sem_occ_loss': sem_occ,
                             'img_sim_loss': img_sim,
+                            'feat_aff_loss': feat_aff,
                             'accuracy': acc if acc is not None
                             else jnp.float32(0)})
         return outputs

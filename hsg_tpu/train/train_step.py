@@ -55,37 +55,42 @@ def create_train_state(embedding_model, rng, sample_batch,
 
 
 def make_train_step(embedding_model, prediction_model, schedule,
-                    update_fn, grad_clip: float | None = None) -> Callable:
+                    update_fn, grad_clip: float | None = None,
+                    use_memory_bank: bool = False) -> Callable:
     """Builds the pure train-step function (jit it with shardings).
 
     batch: dict with 'image' `[B, H, W, 3]`, 'semantic_label' /
     'instance_label' `[B, H, W]`, 'image_index' `[B]`; arranged as
     num_views consecutive views per image. `grad_clip` applies the
     reference's element-wise clamp (lib/nn/optimizer.py:182).
+
+    With `use_memory_bank=True` the step takes a `MemoryBank` as 4th arg
+    and returns `(new_state, metrics, new_bank)`: memory_* targets are fed
+    to the prediction model and the bank rolls forward with this step's
+    global prototypes — the reference's trainer-side accumulation loop
+    (pyscripts/train/train.py:328-345) fused into the compiled step.
     """
+    from hsg_tpu.train import memory_bank as mb_lib
 
-    def train_step(state: TrainState, batch, dropout_rng):
-        def loss_fn(params):
-            outputs, mutated = embedding_model.apply(
-                {'params': params, 'batch_stats': state.batch_stats},
-                batch['image'],
-                batch.get('semantic_label'),
-                batch.get('instance_label'),
-                train=True,
-                mutable=['batch_stats'],
-                rngs={'dropout': dropout_rng})
-            pred = prediction_model(
-                outputs, {'image_index': batch.get('image_index')},
-                with_loss=True)
-            terms = {k: v for k, v in pred.items()
-                     if k.endswith('_loss') and v is not None}
-            total = sum(terms.values()) if terms else jnp.float32(0)
-            aux = dict(terms)
-            aux['accuracy'] = pred.get('accuracy', jnp.float32(0))
-            return total, (mutated['batch_stats'], aux)
+    def run_losses(params, batch_stats, batch, dropout_rng, targets):
+        outputs, mutated = embedding_model.apply(
+            {'params': params, 'batch_stats': batch_stats},
+            batch['image'],
+            batch.get('semantic_label'),
+            batch.get('instance_label'),
+            train=True,
+            mutable=['batch_stats'],
+            rngs={'dropout': dropout_rng})
+        pred = prediction_model(outputs, targets, with_loss=True)
+        terms = {k: v for k, v in pred.items()
+                 if k.endswith('_loss') and v is not None}
+        total = sum(terms.values()) if terms else jnp.float32(0)
+        aux = dict(terms)
+        aux['accuracy'] = pred.get('accuracy', jnp.float32(0))
+        return total, (mutated['batch_stats'], aux, outputs)
 
-        (loss, (new_stats, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+    def apply_grads(state, loss_out, grads):
+        (loss, (new_stats, aux, outputs)) = loss_out
         if grad_clip:
             grads = opt_lib.clip_grad(grads, grad_clip)
         lr = schedule(state.step)
@@ -100,6 +105,41 @@ def make_train_step(embedding_model, prediction_model, schedule,
             opt_state=new_opt_state)
         metrics = {'loss': loss, 'lr': lr}
         metrics.update(aux)
-        return new_state, metrics
+        return new_state, metrics, outputs
 
-    return train_step
+    if not use_memory_bank:
+        def train_step(state: TrainState, batch, dropout_rng):
+            targets = {'image_index': batch.get('image_index')}
+            loss_out, grads = jax.value_and_grad(
+                lambda p: run_losses(p, state.batch_stats, batch,
+                                     dropout_rng, targets),
+                has_aux=True)(state.params)
+            new_state, metrics, _ = apply_grads(state, loss_out, grads)
+            return new_state, metrics
+
+        return train_step
+
+    def train_step_mem(state: TrainState, batch, dropout_rng,
+                       bank: mb_lib.MemoryBank):
+        b = batch['image'].shape[0]
+        targets = {'image_index': batch.get('image_index')}
+        targets.update(mb_lib.as_targets(bank, state.step, b))
+        loss_out, grads = jax.value_and_grad(
+            lambda p: run_losses(p, state.batch_stats, batch, dropout_rng,
+                                 targets),
+            has_aux=True)(state.params)
+        new_state, metrics, outputs = apply_grads(state, loss_out, grads)
+
+        # Roll the bank forward with this step's global prototypes.
+        from hsg_tpu.models.predictions import _flat_global_prototypes
+        proto_flat, proto_valid, _ = _flat_global_prototypes(outputs)
+        s = outputs['segment_valid'].shape[1]
+        seg_sem = jnp.where(outputs['segment_valid'],
+                            outputs['segment_semantic_label'],
+                            -1).reshape(-1)
+        seg_batch = jnp.repeat(jnp.arange(b, dtype=jnp.int32), s)
+        new_bank = mb_lib.update(bank, proto_flat, seg_sem, seg_batch,
+                                 proto_valid, state.step)
+        return new_state, metrics, new_bank
+
+    return train_step_mem

@@ -156,15 +156,29 @@ def main():
         print('Training from scratch')
 
     schedule = opt_lib.schedule_from_config(config)
+    # Rolling prototype memory bank (reference train.py:328-345); shipped
+    # recipes run memory_bank_size=0 (off).
+    bank_size = int(config.train.get('memory_bank_size', 0) or 0)
     # donate_argnums=(0,): the previous TrainState's buffers are reused for
     # the new one in place, avoiding a second copy of params + momentum in
-    # HBM (the host never touches the stale state).
+    # HBM (the host never touches the stale state). With a bank, donate it
+    # too (argnum 3) — it is rewritten every step.
     step_fn = jax.jit(ts_lib.make_train_step(
         embedding_model, prediction_model, schedule, update_fn,
-        grad_clip=config.train.get('grad_clip')), donate_argnums=(0,))
+        grad_clip=config.train.get('grad_clip'),
+        use_memory_bank=bank_size > 0),
+        donate_argnums=(0, 3) if bank_size > 0 else (0,))
 
     mesh = mesh_lib.create_mesh()
     state = mesh_lib.replicate(state, mesh)
+    bank = None
+    if bank_size > 0:
+        from hsg_tpu.train import memory_bank as mb_lib
+        group = (batch['image'].shape[0]
+                 * config.network.max_segments_per_view)
+        bank = mb_lib.create(bank_size, group,
+                             config.network.embedding_dim)
+        bank = mesh_lib.replicate(bank, mesh)
 
     writer = None
     if config.train.tensorboard_step:
@@ -187,7 +201,10 @@ def main():
     for it in range(curr_iter, max_iter):
         sharded = mesh_lib.shard_batch(batch, mesh)
         rng, step_rng = jax.random.split(rng)
-        state, metrics = step_fn(state, sharded, step_rng)
+        if bank is not None:
+            state, metrics, bank = step_fn(state, sharded, step_rng, bank)
+        else:
+            state, metrics = step_fn(state, sharded, step_rng)
 
         # Overlap: prepare the next host batch while the device runs.
         batch = to_batch(next(loader))
