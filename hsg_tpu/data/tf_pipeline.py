@@ -8,11 +8,15 @@ jitter -> grayscale, unsup_dataset.py:105-151) with tf.data parallel maps +
 prefetch, yielding numpy batch dicts with the same contract (views
 flattened into consecutive batch rows).
 
-Differences from the numpy path (documented, not silent): tf.image's
-contrast/saturation/hue adjustments differ in minor numerical detail from
-torchvision's, and the jitter op order is fixed instead of shuffled.
-TensorFlow is an optional dependency; import of this module fails cleanly
-without it.
+Photometric fidelity: the jitter reimplements torchvision's ColorJitter
+math exactly (multiplicative brightness; contrast/saturation blended
+against the Rec.601 grayscale; per-op clipping; SHUFFLED op order), with
+an independent stateless seed for every random draw — gates and
+magnitudes are never correlated. Equivalence against the numpy path is
+unit-tested op-by-op (tests/test_tf_pipeline.py). Remaining documented
+difference: hue uses tf.image's HSV roundtrip vs cv2's (numerically
+equivalent up to float rounding). TensorFlow is an optional dependency;
+import of this module fails cleanly without it.
 """
 
 from __future__ import annotations
@@ -38,9 +42,56 @@ def _decode_label(path):
     return tf.cast(lab[..., 0], tf.int32)
 
 
+def _tf_gray(img):
+    """Rec.601 luma, matching transforms._to_grayscale / torchvision."""
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2])
+
+
+def tf_adjust_brightness(img, factor):
+    """Multiplicative brightness (torchvision; NOT tf.image's additive)."""
+    return tf.clip_by_value(img * factor, 0.0, 1.0)
+
+
+def tf_adjust_contrast(img, factor):
+    """Blend against the MEAN GRAY level (torchvision; NOT tf.image's
+    per-channel means)."""
+    mean = tf.reduce_mean(_tf_gray(img))
+    return tf.clip_by_value((img - mean) * factor + mean, 0.0, 1.0)
+
+
+def tf_adjust_saturation(img, factor):
+    """Blend against the per-pixel grayscale (torchvision; NOT tf.image's
+    HSV scaling)."""
+    gray = _tf_gray(img)[..., None]
+    return tf.clip_by_value((img - gray) * factor + gray, 0.0, 1.0)
+
+
+def tf_adjust_hue(img, delta):
+    return tf.clip_by_value(tf.image.adjust_hue(img, delta), 0.0, 1.0)
+
+
+def apply_color_jitter(img, brightness_f, contrast_f, saturation_f,
+                       hue_d, order):
+    """ColorJitter with explicit factors and op order `order` (a [4] int
+    tensor permutation of 0..3) — torchvision applies its four ops in a
+    random order (unsup_dataset.py:127-133 uses ColorJitter(.4,.4,.4,.1)).
+    """
+    for i in range(4):
+        img = tf.switch_case(order[i], [
+            lambda im=img: tf_adjust_brightness(im, brightness_f),
+            lambda im=img: tf_adjust_contrast(im, contrast_f),
+            lambda im=img: tf_adjust_saturation(im, saturation_f),
+            lambda im=img: tf_adjust_hue(im, hue_d),
+        ])
+    return img
+
+
 def _one_view(img, inst, crop, img_mean, seed, cfg):
-    """One independently augmented view; `seed` is a [2] stateless seed."""
-    seeds = tf.random.experimental.stateless_split(seed, num=8)
+    """One independently augmented view; `seed` is a [2] stateless seed.
+    Every random draw gets its own stateless seed (gates and magnitudes
+    are independent)."""
+    seeds = tf.random.experimental.stateless_split(seed, num=11)
     ch, cw = crop
 
     if cfg['random_mirror']:
@@ -78,18 +129,23 @@ def _one_view(img, inst, crop, img_mean, seed, cfg):
         inst = inst[oy:oy + ch, ox:ox + cw]
 
     if cfg['random_grayscale']:
+        # ColorJitter(0.4, 0.4, 0.4, 0.1) @ p=0.8 then RandomGrayscale
+        # @ p=0.2 (unsup_dataset.py:127-133): torchvision factor ranges
+        # U(1-a, 1+a) (hue U(-h, h)), shuffled op order.
         def jitter(im):
-            im = tf.image.stateless_random_brightness(im, 0.4, seeds[4])
-            im = tf.image.stateless_random_contrast(im, 0.6, 1.4, seeds[5])
-            im = tf.image.stateless_random_saturation(im, 0.6, 1.4, seeds[6])
-            im = tf.image.stateless_random_hue(im, 0.1, seeds[7])
-            return tf.clip_by_value(im, 0.0, 1.0)
+            fb = tf.random.stateless_uniform([], seeds[5], 0.6, 1.4)
+            fc = tf.random.stateless_uniform([], seeds[6], 0.6, 1.4)
+            fs = tf.random.stateless_uniform([], seeds[7], 0.6, 1.4)
+            dh = tf.random.stateless_uniform([], seeds[8], -0.1, 0.1)
+            order = tf.random.experimental.stateless_shuffle(
+                tf.range(4, dtype=tf.int32), seed=seeds[9])
+            return apply_color_jitter(im, fb, fc, fs, dh, order)
         do_jitter = tf.random.stateless_uniform([], seeds[4]) < 0.8
         img = tf.cond(do_jitter, lambda: jitter(img), lambda: img)
-        do_gray = tf.random.stateless_uniform([], seeds[5]) < 0.2
+        do_gray = tf.random.stateless_uniform([], seeds[10]) < 0.2
         img = tf.cond(
             do_gray,
-            lambda: tf.tile(tf.image.rgb_to_grayscale(img), [1, 1, 3]),
+            lambda: tf.tile(_tf_gray(img)[..., None], [1, 1, 3]),
             lambda: img)
 
     img.set_shape([ch, cw, 3])
