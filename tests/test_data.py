@@ -110,3 +110,24 @@ def test_prefetch_loader_iterates(synth):
         if seen >= 5:  # crosses an epoch boundary (6 imgs / bs 2 = 3)
             break
     dl.close()
+
+
+def test_vendored_dataset_lists_resolve_and_parse():
+    """The recipes' default list files must exist in-repo and parse as
+    `image gt superpixel` triplets with the reference's split sizes
+    (datasets/voc12, datasets/cityscapes)."""
+    from hsg_tpu.data.dataset import read_list_file
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    expected = {
+        'datasets/voc12/train+_rf.txt': 10582,
+        'datasets/voc12/val.txt': 1449,
+        'datasets/cityscapes/train_pmi.txt': 2975,
+        'datasets/cityscapes/val.txt': 500,
+    }
+    for rel, n in expected.items():
+        path = os.path.join(repo, rel)
+        assert os.path.exists(path), rel
+        images, sems, insts = read_list_file('/data', path)
+        assert len(images) == n, rel
+        assert len(sems) == n and len(insts) == n, rel
+        assert images[0].startswith('/data/')
