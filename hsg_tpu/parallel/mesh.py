@@ -17,8 +17,56 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host entry path: joins a JAX distributed cluster when the
+    standard coordination env vars are set, and is a no-op otherwise.
+
+    Reads `JAX_COORDINATOR_ADDRESS` / `JAX_NUM_PROCESSES` /
+    `JAX_PROCESS_ID` (set by the launcher on every host; on Cloud TPU
+    pods and SLURM, `jax.distributed.initialize()` autodetects and the
+    explicit vars are unnecessary — set `HSG_TPU_MULTIHOST=1` to opt in
+    there). After this, the SAME train program runs: `jax.devices()`
+    spans all hosts, the `data` mesh covers the global device set, and
+    each process feeds only its local batch shard
+    (`local_batch_slice` + `shard_batch`). Returns True if distributed
+    mode is active.
+    """
+    import os
+
+    addr = os.environ.get('JAX_COORDINATOR_ADDRESS')
+    if addr:
+        try:
+            # Cross-process collectives for the CPU backend (no effect on
+            # TPU, where ICI/DCN collectives are native).
+            jax.config.update('jax_cpu_collectives_implementation', 'gloo')
+        except Exception:
+            pass
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ['JAX_NUM_PROCESSES']),
+            process_id=int(os.environ['JAX_PROCESS_ID']))
+        return True
+    if os.environ.get('HSG_TPU_MULTIHOST'):
+        jax.distributed.initialize()   # autodetected environment
+        return True
+    return jax.process_count() > 1
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """This process's contiguous row range of the global batch.
+
+    The loaders are seeded per-process with the same list order, so each
+    process reads disjoint rows (the multi-host replacement for the
+    reference's `prepare_datas_and_labels_mgpu` pre-scatter,
+    utils/general/others.py:50-73).
+    """
+    per = global_batch_size // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)
+
+
 def create_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D data-parallel mesh over the available devices."""
+    """1-D data-parallel mesh over the available devices (all hosts)."""
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
@@ -36,14 +84,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Places a host batch dict onto the mesh, sharded on axis 0."""
+    """Places a host batch dict onto the mesh, sharded on axis 0.
+
+    Single-process: `device_put` splits the full host batch over local
+    devices. Multi-host: each process holds only its local rows
+    (`local_batch_slice`), assembled into one global array without any
+    cross-host copy (`make_array_from_process_local_data`).
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicates a pytree (params/optimizer state) across the mesh."""
+    """Replicates a pytree (params/optimizer state) across the mesh.
+
+    Multi-host: every process must hold the same host values (same init
+    rng / restored checkpoint); they become one replicated global array
+    per leaf without cross-host traffic.
+    """
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)

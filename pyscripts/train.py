@@ -64,11 +64,23 @@ def main():
     from hsg_tpu.train import train_step as ts_lib
     from hsg_tpu.models import import_torch
 
+    # Multi-host: join the cluster BEFORE first device use (SURVEY.md §2.5
+    # — the same SPMD program spans hosts; only data feeding changes).
+    multihost = mesh_lib.maybe_initialize_distributed()
+
     os.makedirs(args.snapshot_dir, exist_ok=True)
 
-    num_devices = len(jax.devices())
+    num_devices = len(jax.devices())         # global device count
     images_per_step = config.train.batch_size * num_devices
     num_views = config.network.num_views
+    # Each process loads only its local rows of the global batch; the
+    # loaders below are sized per-process and seeded per-process so
+    # processes read disjoint data.
+    local_images = images_per_step // jax.process_count()
+    if multihost:
+        print(f'multi-host: process {jax.process_index()}/'
+              f'{jax.process_count()}, {jax.local_device_count()} local / '
+              f'{num_devices} global devices', flush=True)
 
     data_dir = args.data_dir or config.dataset.data_dir
     data_list = args.data_list or config.dataset.train_data_list
@@ -77,7 +89,8 @@ def main():
         from hsg_tpu.data.tf_pipeline import TfDataLoader
         loader = TfDataLoader(
             data_dir, data_list, tuple(config.train.crop_size),
-            batch_images=images_per_step,
+            batch_images=local_images,
+            seed=jax.process_index(),
             img_mean=tuple(config.network.pixel_means),
             img_std=tuple(config.network.pixel_stds),
             num_views=num_views,
@@ -98,22 +111,29 @@ def main():
             random_grayscale=config.train.get('random_grayscale', True),
             random_blur=config.train.get('random_blur', False),
             training=True)
-        loader = PrefetchLoader(dataset, images_per_step,
+        loader = PrefetchLoader(dataset, local_images,
                                 shuffle=config.train.shuffle,
-                                num_workers=config.num_threads)
+                                num_workers=config.num_threads,
+                                seed=jax.process_index())
 
     embedding_model = build_embedding_model(config)
     prediction_model = build_prediction_model(config)
 
+    # Image ids must be unique across the GLOBAL batch (they define the
+    # multiview positive pairs); local rows land at global offset
+    # process_index * local_rows under make_array_from_process_local_data.
+    image_id_offset = jax.process_index() * local_images
+
     def to_batch(sample):
         # Keep host numpy until shard_batch places it directly onto the
         # mesh (avoids a device-0 staging copy + reshard).
+        rows = sample['image'].shape[0]
         return {
             'image': np.asarray(sample['image'], np.float32),
             'semantic_label': np.asarray(sample['semantic_label'], np.int32),
             'instance_label': np.asarray(sample['instance_label'], np.int32),
-            'image_index': (np.arange(sample['image'].shape[0])
-                            // num_views).astype(np.int32),
+            'image_index': (np.arange(rows) // num_views
+                            + image_id_offset).astype(np.int32),
         }
 
     batch = to_batch(next(loader))
