@@ -131,14 +131,19 @@ class SelfsupListDataset(UnsupListDataset):
     """
 
     def __init__(self, *args, random_grayscale=True, random_blur=False,
-                 **kwargs):
+                 photometric='host', **kwargs):
+        """photometric: 'host' runs ColorJitter/grayscale + normalization
+        here; 'device' skips BOTH and emits raw [0, 1] views for the
+        on-device stage (hsg_tpu/data/device_aug.py) — the host then only
+        decodes + does the cheap geometric ops."""
         super().__init__(*args, **kwargs)
         self.random_grayscale = random_grayscale
         self.random_blur = random_blur
+        self.photometric = photometric
 
     def _one_view(self, image, sem, inst):
         img, s, i = self._augment(image, sem, inst)
-        if self.random_grayscale:
+        if self.random_grayscale and self.photometric == 'host':
             if self._rng.uniform() < 0.8:
                 img = transforms.color_jitter(img, self._rng)
             img = transforms.random_grayscale(img, self._rng, p=0.2)
@@ -149,8 +154,11 @@ class SelfsupListDataset(UnsupListDataset):
     def __getitem__(self, idx):
         image, sem, inst = self._load(idx)
         views = [self._one_view(image, sem, inst) for _ in range(2)]
-        imgs = np.stack([(v[0] - self.img_mean) / self.img_std
-                         for v in views]).astype(np.float32)
+        if self.photometric == 'device':
+            imgs = np.stack([v[0] for v in views]).astype(np.float32)
+        else:
+            imgs = np.stack([(v[0] - self.img_mean) / self.img_std
+                             for v in views]).astype(np.float32)
         sems = np.stack([v[1] for v in views])
         insts = np.stack([v[2] for v in views])
         return ({'image': imgs},

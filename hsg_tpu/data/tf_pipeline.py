@@ -159,38 +159,62 @@ def make_selfsup_dataset(data_dir, data_list, crop_size,
                          batch_images=8, num_views=2,
                          random_mirror=True, random_scale=True,
                          random_crop=True, random_grayscale=True,
-                         shuffle=True, seed=0):
+                         shuffle=True, seed=0, photometric='host',
+                         cache_decoded=False):
     """tf.data.Dataset of collated batches (dict of numpy-convertible
     tensors): image `[B, H, W, 3]`, semantic_label / instance_label
     `[B, H, W]`, image_id `[B]` with `B = batch_images * num_views`,
-    consecutive views per image."""
+    consecutive views per image.
+
+    photometric: 'host' applies ColorJitter/grayscale + normalization
+    here; 'device' skips both and emits raw [0, 1] views for the
+    on-device stage (hsg_tpu/data/device_aug.py).
+    cache_decoded: keep decoded images in host RAM after the first epoch
+    (skips file IO + PNG/JPEG decode on every later epoch — use when the
+    decoded dataset fits memory; augmentation stays per-epoch random).
+    """
     images, _, instances = read_list_file(data_dir, data_list)
     if not instances:
         instances = [''] * len(images)
     cfg = dict(random_mirror=random_mirror, random_scale=random_scale,
-               random_crop=random_crop, random_grayscale=random_grayscale)
+               random_crop=random_crop,
+               random_grayscale=random_grayscale and photometric == 'host')
     mean = np.asarray(img_mean, np.float32)
     std = np.asarray(img_std, np.float32)
     crop = tuple(crop_size)
 
     ds = tf.data.Dataset.from_tensor_slices(
         (list(images), list(instances), np.arange(len(images), dtype=np.int32)))
-    ds = ds.repeat()
-    if shuffle:
-        ds = ds.shuffle(min(len(images), 8192), seed=seed,
-                        reshuffle_each_iteration=True)
-    rng = tf.random.Generator.from_seed(seed)
 
-    def load_and_augment(img_path, inst_path, idx):
+    def load(img_path, inst_path, idx):
         img = _decode_image(img_path)
         inst = tf.cond(tf.strings.length(inst_path) > 0,
                        lambda: _decode_label(inst_path),
                        lambda: tf.zeros(tf.shape(img)[:2], tf.int32))
+        return img, inst, idx
+
+    if cache_decoded:
+        # Decode once, cache, THEN repeat/shuffle/augment per epoch.
+        ds = ds.map(load, num_parallel_calls=tf.data.AUTOTUNE).cache()
+        ds = ds.repeat()
+        if shuffle:
+            ds = ds.shuffle(min(len(images), 8192), seed=seed,
+                            reshuffle_each_iteration=True)
+    else:
+        ds = ds.repeat()
+        if shuffle:
+            ds = ds.shuffle(min(len(images), 8192), seed=seed,
+                            reshuffle_each_iteration=True)
+        ds = ds.map(load, num_parallel_calls=tf.data.AUTOTUNE)
+    rng = tf.random.Generator.from_seed(seed)
+
+    def augment(img, inst, idx):
         seeds = rng.make_seeds(num_views)
         views_img, views_inst = [], []
         for v in range(num_views):
             vi, vl = _one_view(img, inst, crop, img_mean, seeds[:, v], cfg)
-            vi = (vi - mean) / std
+            if photometric == 'host':
+                vi = (vi - mean) / std
             views_img.append(vi)
             views_inst.append(vl)
         imgs = tf.stack(views_img)                      # [V, H, W, 3]
@@ -199,7 +223,7 @@ def make_selfsup_dataset(data_dir, data_list, crop_size,
         ids = tf.fill([num_views], idx)
         return imgs, sems, insts, ids
 
-    ds = ds.map(load_and_augment, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.map(augment, num_parallel_calls=tf.data.AUTOTUNE)
     ds = ds.batch(batch_images, drop_remainder=True)
 
     def collate(imgs, sems, insts, ids):

@@ -56,7 +56,8 @@ def create_train_state(embedding_model, rng, sample_batch,
 
 def make_train_step(embedding_model, prediction_model, schedule,
                     update_fn, grad_clip: float | None = None,
-                    use_memory_bank: bool = False) -> Callable:
+                    use_memory_bank: bool = False,
+                    device_photometric: dict | None = None) -> Callable:
     """Builds the pure train-step function (jit it with shardings).
 
     batch: dict with 'image' `[B, H, W, 3]`, 'semantic_label' /
@@ -69,13 +70,26 @@ def make_train_step(embedding_model, prediction_model, schedule,
     to the prediction model and the bank rolls forward with this step's
     global prototypes — the reference's trainer-side accumulation loop
     (pyscripts/train/train.py:328-345) fused into the compiled step.
+
+    `device_photometric`: dict with 'mean'/'std' (and optional jitter
+    kwargs). When set, batch['image'] is expected RAW [0, 1] and the
+    ColorJitter/grayscale/normalize stage runs on-device at the top of
+    the step (hsg_tpu/data/device_aug.py) — offloading the host input
+    pipeline's most expensive stage.
     """
     from hsg_tpu.train import memory_bank as mb_lib
 
     def run_losses(params, batch_stats, batch, dropout_rng, targets):
+        images = batch['image']
+        if device_photometric is not None:
+            from hsg_tpu.data import device_aug
+            dp = dict(device_photometric)
+            aug_rng, dropout_rng = jax.random.split(dropout_rng)
+            images = device_aug.photometric_and_normalize(
+                images, aug_rng, dp.pop('mean'), dp.pop('std'), **dp)
         outputs, mutated = embedding_model.apply(
             {'params': params, 'batch_stats': batch_stats},
-            batch['image'],
+            images,
             batch.get('semantic_label'),
             batch.get('instance_label'),
             train=True,
