@@ -286,6 +286,57 @@ def top_k_ranking(embeddings: jnp.ndarray,
     return accuracy, top_k_labels
 
 
+def top_k_accuracy_chunked(embeddings: jnp.ndarray,
+                           labels: jnp.ndarray,
+                           prototypes: jnp.ndarray,
+                           prototype_labels: jnp.ndarray,
+                           top_k: int = 3,
+                           query_valid: jnp.ndarray | None = None,
+                           prototype_valid: jnp.ndarray | None = None,
+                           chunk: int = 2048) -> jnp.ndarray:
+    """`top_k_ranking` accuracy without materializing the `[N, G]` affinity.
+
+    Scans over query chunks of size `chunk` (each computes a `[chunk, G]`
+    tile, takes top-k, and accumulates masked hit counts), so the training
+    retrieval-accuracy metric stays exact at stage-1 scale (~32k global
+    prototypes) instead of subsampling. Metric only — inputs are
+    stop-gradiented.
+    """
+    embeddings = jax.lax.stop_gradient(
+        embeddings.reshape(-1, embeddings.shape[-1]))
+    prototypes = jax.lax.stop_gradient(
+        prototypes.reshape(-1, prototypes.shape[-1]))
+    n, c = embeddings.shape
+    if query_valid is None:
+        query_valid = jnp.ones((n,), jnp.bool_)
+    pad = (-n) % chunk
+    emb = jnp.pad(embeddings, ((0, pad), (0, 0)))
+    lab = jnp.pad(labels.reshape(-1), (0, pad), constant_values=-2)
+    qv = jnp.pad(query_valid.reshape(-1), (0, pad))
+    k = min(top_k, prototypes.shape[0])
+
+    def body(carry, xs):
+        e, l, v = xs
+        aff = jax.lax.dot_general(
+            e, prototypes, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if prototype_valid is not None:
+            aff = jnp.where(prototype_valid[None, :], aff, -jnp.inf)
+        _, idx = jax.lax.top_k(aff, k)
+        hits = jnp.mean(
+            jnp.equal(l[:, None], prototype_labels[idx]).astype(jnp.float32),
+            axis=1)
+        w = v.astype(jnp.float32)
+        num, den = carry
+        return (num + jnp.sum(hits * w), den + jnp.sum(w)), None
+
+    (num, den), _ = jax.lax.scan(
+        body, (jnp.float32(0), jnp.float32(0)),
+        (emb.reshape(-1, chunk, c), lab.reshape(-1, chunk),
+         qv.reshape(-1, chunk)))
+    return num / jnp.maximum(den, 1.0)
+
+
 def majority_label_from_topk(top_k_labels: jnp.ndarray,
                              num_classes: int) -> jnp.ndarray:
     """Majority vote over retrieved top-k labels.

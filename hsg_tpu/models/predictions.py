@@ -130,15 +130,13 @@ class Hsg:
                 pixel_valid=pix_valid_flat, prototype_valid=proto_valid)
             img_sim_loss = img_sim_loss * self.img_sim_weight
 
-            # Top-5 retrieval accuracy metric. The [G, G] affinity is
-            # quadratic in the global prototype count; cap the set for the
-            # metric only (the loss itself is exact and chunked).
-            acc_cap = 8192
-            q = proto_flat[:acc_cap]
-            ql = seg_label.reshape(-1)[:acc_cap]
-            qv = proto_valid[:acc_cap]
-            img_sim_acc, _ = segsort_loss.top_k_ranking(
-                q, ql, q, ql, 5, query_valid=qv, prototype_valid=qv)
+            # Top-5 retrieval accuracy metric (predictions/hsg.py:113).
+            # Chunked scan keeps it exact at stage-1 scale (~32k global
+            # prototypes) without a quadratic [G, G] affinity in memory.
+            sl = seg_label.reshape(-1)
+            img_sim_acc = segsort_loss.top_k_accuracy_chunked(
+                proto_flat, sl, proto_flat, sl, 5,
+                query_valid=proto_valid, prototype_valid=proto_valid)
 
         for name, loss_fn, weight in (
                 ('finehrchy', self.fine_hrchy, self.fine_hrchy_weight),

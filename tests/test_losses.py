@@ -128,6 +128,30 @@ def test_top_k_ranking():
     np.testing.assert_array_equal(np.asarray(maj), [7, 7])
 
 
+def test_top_k_accuracy_chunked_matches_dense():
+    rng = np.random.default_rng(3)
+    n, g, c = 105, 37, 8
+    emb = rng.normal(size=(n, c)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    protos = rng.normal(size=(g, c)).astype(np.float32)
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    labels = rng.integers(0, 5, n)
+    plabels = rng.integers(0, 5, g)
+    qv = rng.random(n) > 0.2
+    pv = rng.random(g) > 0.2
+    dense_acc, _ = segsort.top_k_ranking(
+        jnp.asarray(emb), jnp.asarray(labels), jnp.asarray(protos),
+        jnp.asarray(plabels), top_k=5,
+        query_valid=jnp.asarray(qv), prototype_valid=jnp.asarray(pv))
+    chunked_acc = segsort.top_k_accuracy_chunked(
+        jnp.asarray(emb), jnp.asarray(labels), jnp.asarray(protos),
+        jnp.asarray(plabels), top_k=5,
+        query_valid=jnp.asarray(qv), prototype_valid=jnp.asarray(pv),
+        chunk=16)
+    np.testing.assert_allclose(float(chunked_acc), float(dense_acc),
+                               rtol=1e-6)
+
+
 def _np_affinity(x, valid, group, knn, concentration=5.0):
     """Reference-semantic affinity for one graph: x `[N, C]`."""
     n = x.shape[0]

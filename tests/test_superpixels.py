@@ -61,6 +61,7 @@ def test_superpixel_quality_benchmark():
     uniform-grid baseline with the same segment budget."""
     rng = np.random.default_rng(7)
     brs, asas, grid_brs, grid_asas = [], [], [], []
+    loc_brs, loc_asas = [], []
     size, max_seg = 96, 48
     g = int(np.sqrt(max_seg))           # 6x8 grid -> 48 cells
     for _ in range(5):
@@ -68,6 +69,9 @@ def test_superpixel_quality_benchmark():
         sp = generate(img, max_segments=max_seg)
         brs.append(_boundary_recall(gt, sp))
         asas.append(_asa(gt, sp))
+        sp_loc = generate(img, max_segments=max_seg, globalize=False)
+        loc_brs.append(_boundary_recall(gt, sp_loc))
+        loc_asas.append(_asa(gt, sp_loc))
         gy = np.minimum(np.arange(size) * g // size, g - 1)
         gx = np.minimum(np.arange(size) * (max_seg // g) // size,
                         max_seg // g - 1)
@@ -76,11 +80,36 @@ def test_superpixel_quality_benchmark():
         grid_asas.append(_asa(gt, grid))
     br, asa = np.mean(brs), np.mean(asas)
     print(f'\nsuperpixel quality (5 scenes, {max_seg} segments): '
-          f'BR@2={br:.3f} (grid {np.mean(grid_brs):.3f}), '
-          f'ASA={asa:.3f} (grid {np.mean(grid_asas):.3f})')
+          f'globalized BR@2={br:.3f} ASA={asa:.3f} | '
+          f'local-only BR@2={np.mean(loc_brs):.3f} '
+          f'ASA={np.mean(loc_asas):.3f} | '
+          f'grid BR@2={np.mean(grid_brs):.3f} ASA={np.mean(grid_asas):.3f}')
     assert br > 0.90, f'boundary recall {br:.3f}'
     assert asa > 0.95, f'ASA {asa:.3f}'
     assert asa > np.mean(grid_asas) + 0.01
+    # Globalization must not degrade quality (it suppresses noise
+    # boundaries; on these clean scenes parity is acceptable).
+    assert asa >= np.mean(loc_asas) - 0.01
+    assert br >= np.mean(loc_brs) - 0.02
+
+
+def test_spectral_globalization_helps_under_tight_budget():
+    """With few segments, merge order decides quality; the sPb step
+    (generate_se_owt_ucm.m:20-40 parity) suppresses texture boundaries so
+    true region boundaries survive the merge."""
+    rng = np.random.default_rng(11)
+    size = 96
+    g_asas, l_asas = [], []
+    for _ in range(3):
+        img, gt = _synthetic_scene(rng, size=size)
+        yy, xx = np.mgrid[:size, :size]
+        tex = (0.18 * np.sin(yy * 1.4 + gt * 2)[..., None]
+               * np.sin(xx * 1.1)[..., None])
+        imgt = np.clip(img + tex, 0, 1).astype(np.float32)
+        g_asas.append(_asa(gt, generate(imgt, 10, globalize=True)))
+        l_asas.append(_asa(gt, generate(imgt, 10, globalize=False)))
+    assert np.mean(g_asas) > 0.97
+    assert np.mean(g_asas) >= np.mean(l_asas)
 
 
 def test_superpixels_bounded_and_aligned():

@@ -1,0 +1,165 @@
+"""Rehearse the shipped recipes at TRUE shapes on the chip.
+
+Runs the exact jitted train step of pyscripts/train.py at the reference
+recipe scales (bashscripts/coco/train.sh:21-40):
+
+  stage1   global batch 128 views @224², K=1x1 grid, 1 EM iteration,
+           img_sim SegSort only (configs/coco_stage1.yaml)
+  stage1p  stage1 with max_segments_per_view=128 -> 16,384 global
+           prototype slots, which drives SegSortLoss's auto-routing
+           (losses/segsort.py AUTO_CHUNK_THRESHOLD=8192) onto the fused
+           Pallas NCA kernel INSIDE the compiled train step; the script
+           asserts the kernel's tpu_custom_call is present in the HLO
+  stage2   global batch 48 views @448², K=4x4 grid, 15 EM iterations,
+           all 5 losses + both clustering transformers
+           (configs/coco_stage2.yaml)
+
+on synthetic on-device data (no host input pipeline — this isolates
+step time; tools/measure_input_pipeline.py covers sustained end-to-end).
+Reports steady-state ms/step, views/s, and HBM peak, and can capture a
+profiler trace (--profile_dir).
+
+Run on the chip:  PYTHONPATH=. python tools/rehearse_recipes.py \
+    --stage stage1p --steps 500 [--profile_dir /tmp/trace]
+
+Prints ONE JSON line per run.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+STAGES = {
+    # name: (yaml, batch_rows, crop, max_segments_override)
+    'stage1': ('configs/coco_stage1.yaml', 128, 224, None),
+    'stage1p': ('configs/coco_stage1.yaml', 128, 224, 128),
+    'stage2': ('configs/coco_stage2.yaml', 48, 448, None),
+}
+
+
+def synthetic_batch(rows, hw, num_views, seed=0):
+    """Random images + grid instance labels standing in for superpixels
+    (the reference's OWT-UCM PNGs enter training as instance labels)."""
+    rng = np.random.default_rng(seed)
+    image = rng.uniform(-2, 2, (rows, hw, hw, 3)).astype(np.float32)
+    gy = (np.arange(hw) * 6 // hw)
+    grid = (gy[:, None] * 6 + gy[None, :]).astype(np.int32)
+    inst = np.broadcast_to(grid, (rows, hw, hw)).copy()
+    return {
+        'image': image,
+        'semantic_label': np.zeros((rows, hw, hw), np.int32),
+        'instance_label': inst,
+        'image_index': (np.arange(rows) // num_views).astype(np.int32),
+    }
+
+
+def run(stage, steps, profile_dir=None):
+    import jax
+    import jax.numpy as jnp
+    from hsg_tpu.config import update_config
+    from hsg_tpu.parallel import mesh as mesh_lib
+    from hsg_tpu.train import optimizer as opt_lib
+    from hsg_tpu.train import train_step as ts_lib
+    from pyscripts.common import (build_embedding_model,
+                                  build_prediction_model, head_multipliers)
+
+    yaml_path, rows, hw, seg_override = STAGES[stage]
+    config = update_config(yaml_path)
+    if seg_override:
+        config.network.max_segments_per_view = seg_override
+    config.network.remat = (stage != 'stage1')  # 448² needs remat headroom
+
+    num_views = config.network.num_views
+    protos = rows * config.network.max_segments_per_view
+
+    embedding_model = build_embedding_model(config)
+    prediction_model = build_prediction_model(config)
+
+    batch = synthetic_batch(rows, hw, num_views)
+    hw_mult, hb_mult = head_multipliers(config)
+    state, update_fn = ts_lib.create_train_state(
+        embedding_model, jax.random.PRNGKey(0), batch,
+        head_weight_mult=hw_mult, head_bias_mult=hb_mult,
+        momentum=config.train.momentum,
+        weight_decay=config.train.weight_decay)
+    schedule = opt_lib.schedule_from_config(config)
+    step_fn = jax.jit(
+        ts_lib.make_train_step(embedding_model, prediction_model, schedule,
+                               update_fn),
+        donate_argnums=(0,))
+
+    mesh = mesh_lib.create_mesh()
+    state = mesh_lib.replicate(state, mesh)
+    sharded = mesh_lib.shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    lowered = step_fn.lower(state, sharded, rng)
+    compiled = lowered.compile()
+    compile_s = time.time() - t0
+    hlo = compiled.as_text()
+    uses_pallas = 'tpu_custom_call' in hlo
+    if protos > 8192 and jax.default_backend() == 'tpu':
+        assert uses_pallas, (
+            f'{stage}: {protos} prototypes (> 8192) but no tpu_custom_call '
+            'in the compiled train step — Pallas NCA route not taken')
+
+    # Steady state: run `steps` steps, timing after a 3-step warmup.
+    for i in range(min(3, steps)):
+        rng, sub = jax.random.split(rng)
+        state, metrics = compiled(state, sharded, sub)
+    jax.block_until_ready(metrics)
+    n_timed = max(1, steps - 3)
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        rng, sub = jax.random.split(rng)
+        if profile_dir and i == 5:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir and i == 8:
+            jax.profiler.stop_trace()
+        state, metrics = compiled(state, sharded, sub)
+    loss = float(metrics['loss'])          # final readback syncs the stream
+    dt = (time.perf_counter() - t0) / n_timed
+
+    mem = {}
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        mem['hbm_peak_gb'] = round(stats.get('peak_bytes_in_use', 0) / 2**30,
+                                   2)
+    except Exception:
+        pass
+
+    out = {
+        'stage': stage, 'rows': rows, 'hw': hw,
+        'prototype_slots': protos,
+        'ms_per_step': round(dt * 1e3, 1),
+        'views_per_s': round(rows / dt, 1),
+        'steps': n_timed, 'final_loss': round(loss, 4),
+        'pallas_in_hlo': uses_pallas,
+        'compile_s': round(compile_s, 1),
+        **mem,
+    }
+    assert np.isfinite(loss), out
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--stage', choices=list(STAGES) + ['all'], default='all')
+    ap.add_argument('--steps', type=int, default=500)
+    ap.add_argument('--profile_dir', default=None)
+    args = ap.parse_args()
+    stages = list(STAGES) if args.stage == 'all' else [args.stage]
+    for s in stages:
+        run(s, args.steps, args.profile_dir)
+
+
+if __name__ == '__main__':
+    main()
