@@ -93,7 +93,7 @@ def measure_e2e(data_dir, data_list, steps=100):
     sustained steps/s with the tf+cache+device-photometric pipeline vs the
     step-time bound on a resident batch."""
     import jax
-    from hsg_tpu.config import update_config
+    from hsg_tpu.config import default_config, update_config
     from hsg_tpu.data.tf_pipeline import TfDataLoader
     from hsg_tpu.parallel import mesh as mesh_lib
     from hsg_tpu.train import optimizer as opt_lib
@@ -101,7 +101,7 @@ def measure_e2e(data_dir, data_list, steps=100):
     from pyscripts.common import (build_embedding_model,
                                   build_prediction_model, head_multipliers)
 
-    config = update_config('configs/coco_stage1.yaml')
+    config = update_config(default_config(), 'configs/coco_stage1.yaml')
     crop = tuple(config.train.crop_size)
     batch_images = 64                       # 128 views: recipe global batch
     rows = batch_images * config.network.num_views

@@ -62,7 +62,7 @@ def synthetic_batch(rows, hw, num_views, seed=0):
 def run(stage, steps, profile_dir=None):
     import jax
     import jax.numpy as jnp
-    from hsg_tpu.config import update_config
+    from hsg_tpu.config import default_config, update_config
     from hsg_tpu.parallel import mesh as mesh_lib
     from hsg_tpu.train import optimizer as opt_lib
     from hsg_tpu.train import train_step as ts_lib
@@ -70,7 +70,7 @@ def run(stage, steps, profile_dir=None):
                                   build_prediction_model, head_multipliers)
 
     yaml_path, rows, hw, seg_override = STAGES[stage]
-    config = update_config(yaml_path)
+    config = update_config(default_config(), yaml_path)
     if seg_override:
         config.network.max_segments_per_view = seg_override
     config.network.remat = (stage != 'stage1')  # 448² needs remat headroom
