@@ -137,3 +137,128 @@ def photometric_and_normalize(images, rng, mean, std, **kwargs):
     mean = jnp.asarray(mean, images.dtype)
     std = jnp.asarray(std, images.dtype)
     return (images - mean) / std
+
+
+# ---------------------------------------------------------------------------
+# On-device GEOMETRIC augmentation: mirror -> scale U(0.5, 1.5) -> pad ->
+# random crop (the reference view pipeline, unsup_dataset.py:105-151 /
+# hsg/data/transforms.py) expressed as ONE fused affine-warp gather with
+# fully static shapes. The host then only decodes (once, cached) and
+# stacks fixed-size uint8 canvases; every augmentation op rides the TPU.
+
+
+def warp_view(image, label, true_h, true_w, flip, ratio, u_y, u_x,
+              crop, image_pad, label_pad=255):
+    """One augmented view as a single warp.
+
+    Equivalent to the host chain random_mirror -> resize(ratio) ->
+    random_crop_with_pad(crop) (transforms.py:45-98) on a source image
+    living in the top-left `[true_h, true_w]` region of a fixed `[S, S]`
+    canvas:
+
+      scaled size  (h', w') = (floor(r*H), floor(r*W))   [= int(r*H)]
+      pad to       (max(h', crop), max(w', crop)), source at origin,
+                   image padded with `image_pad`, label with `label_pad`
+      crop offset  sy = floor(u_y * (ph - crop)), sx likewise
+      output[y,x]  = bilinear(source, ((sy+y+0.5)*H/h' - 0.5,
+                                       (sx+x+0.5)*W/w' - 0.5))
+                     where inside the scaled extent, else the pad value;
+                     labels sample nearest: floor((sy+y)*H/h') (the
+                     OpenCV INTER_NEAREST convention, no half shift).
+
+    `flip` mirrors the SOURCE x axis. All of (true_h, true_w, flip,
+    ratio, u_y, u_x) are traced per-view data; shapes are static.
+    image: `[S, S, 3]` float in [0, 1]; label: `[S, S]` int.
+    Returns (`[crop, crop, 3]`, `[crop, crop]`).
+    """
+    H = true_h.astype(jnp.float32)
+    W = true_w.astype(jnp.float32)
+    h2 = jnp.maximum(jnp.floor(ratio * H), 1.0)
+    w2 = jnp.maximum(jnp.floor(ratio * W), 1.0)
+    ph = jnp.maximum(h2, crop)
+    pw = jnp.maximum(w2, crop)
+    sy = jnp.floor(u_y * (ph - crop))
+    sx = jnp.floor(u_x * (pw - crop))
+
+    ys = sy + jnp.arange(crop, dtype=jnp.float32)          # [crop]
+    xs = sx + jnp.arange(crop, dtype=jnp.float32)
+    inside = ((ys[:, None] < h2) & (xs[None, :] < w2))     # [crop, crop]
+
+    src_y = (ys + 0.5) * (H / h2) - 0.5                    # [crop]
+    src_x = (xs + 0.5) * (W / w2) - 0.5
+    src_x = jnp.where(flip, (W - 1.0) - src_x, src_x)
+
+    # Bilinear (image), SEPARABLE: the warp has no rotation, so
+    # resampling factorizes into a row pass and a column pass. Encode
+    # each pass as a 2-nonzeros-per-row interpolation matrix and run it
+    # on the MXU — per-pixel gathers are pathologically slow on TPU
+    # (measured ~600 ms/step at stage-1 scale vs ~2 ms for the matmul
+    # form). Clamp into the true region so canvas padding beyond
+    # [true_h, true_w] is never read.
+    sh, sw = image.shape[0], image.shape[1]
+    y0 = jnp.clip(jnp.floor(src_y), 0.0, H - 1.0)
+    x0 = jnp.clip(jnp.floor(src_x), 0.0, W - 1.0)
+    wy = jnp.clip(src_y - y0, 0.0, 1.0)
+    wx = jnp.clip(src_x - x0, 0.0, 1.0)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, true_h - 1)
+    x1i = jnp.minimum(x0i + 1, true_w - 1)
+
+    f32 = jnp.float32
+    wy_mat = ((1.0 - wy)[:, None] * jax.nn.one_hot(y0i, sh, dtype=f32)
+              + wy[:, None] * jax.nn.one_hot(y1i, sh, dtype=f32))
+    wx_mat = ((1.0 - wx)[:, None] * jax.nn.one_hot(x0i, sw, dtype=f32)
+              + wx[:, None] * jax.nn.one_hot(x1i, sw, dtype=f32))
+    rows = jnp.einsum('ys,swc->ywc', wy_mat, image.astype(f32))
+    out = jnp.einsum('xw,ywc->yxc', wx_mat, rows)          # [c, c, 3]
+    pad = jnp.asarray(image_pad, out.dtype)
+    out = jnp.where(inside[..., None], out, pad)
+
+    # Nearest (label): cv2 INTER_NEAREST convention floor(i * H/h')
+    # (no half-pixel shift — OpenCV quirk). Same matmul trick with
+    # one-hot selection; label values are exact in f32 below 2^24.
+    ny = jnp.clip(jnp.floor(ys * (H / h2)), 0, H - 1.0)
+    nx = jnp.clip(jnp.floor(xs * (W / w2)), 0, W - 1.0)
+    nx = jnp.where(flip, (W - 1.0) - nx, nx)
+    ny_mat = jax.nn.one_hot(ny.astype(jnp.int32), sh, dtype=f32)
+    nx_mat = jax.nn.one_hot(nx.astype(jnp.int32), sw, dtype=f32)
+    lab_rows = ny_mat @ label.astype(f32)                  # [c, Sw]
+    lab = jnp.round(lab_rows @ nx_mat.T).astype(label.dtype)
+    lab = jnp.where(inside, lab, label_pad)
+    return out, lab
+
+
+def random_geometric_views(images, labels, true_hw, rng, crop,
+                           num_views=2, scale_min=0.5, scale_max=1.5,
+                           mirror_p=0.5, image_pad=(0.0, 0.0, 0.0),
+                           label_pad=255):
+    """Expand `[B, S, S, 3]` staged raw images into `[B*V, crop, crop, 3]`
+    independently augmented views (consecutive-views batch convention).
+
+    images: uint8 or float; uint8 is converted to [0, 1] float ON DEVICE
+    (so the host->device transfer is 4x smaller). labels `[B, S, S]` int
+    (superpixel/instance maps). true_hw `[B, 2]` actual source sizes.
+    """
+    b = images.shape[0]
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    keys = jax.random.split(rng, b * num_views).reshape(b, num_views, 2)
+
+    def one_image(img, lab, hw, img_keys):
+        def one_view(key):
+            k_f, k_r, k_y, k_x = jax.random.split(key, 4)
+            flip = jax.random.uniform(k_f) >= 0.5
+            ratio = jax.random.uniform(k_r, minval=scale_min,
+                                       maxval=scale_max)
+            u_y = jax.random.uniform(k_y)
+            u_x = jax.random.uniform(k_x)
+            return warp_view(img, lab, hw[0], hw[1], flip, ratio, u_y,
+                             u_x, crop, image_pad, label_pad)
+        return jax.vmap(one_view)(img_keys)                # [V, crop, ...]
+
+    view_imgs, view_labs = jax.vmap(one_image)(images, labels, true_hw,
+                                               keys)
+    v = num_views
+    return (view_imgs.reshape(b * v, crop, crop, 3),
+            view_labs.reshape(b * v, crop, crop))

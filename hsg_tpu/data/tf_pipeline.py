@@ -239,6 +239,102 @@ def make_selfsup_dataset(data_dir, data_list, crop_size,
     return ds.prefetch(tf.data.AUTOTUNE)
 
 
+def make_raw_dataset(data_dir, data_list, staging_size=512,
+                     batch_images=8, shuffle=True, seed=0,
+                     cache_decoded=True):
+    """Raw staging pipeline for FULLY on-device augmentation
+    (hsg_tpu/data/device_aug.py `random_geometric_views`): the host only
+    decodes (cached after epoch 1) and stacks fixed-size uint8 canvases —
+    every augmentation op (mirror/scale/crop/jitter) runs in the jitted
+    train step.
+
+    Yields dicts: image_raw uint8 `[B, Sh, Sw, 3]` (source top-left,
+    zero-padded), instance_raw int32 `[B, Sh, Sw]`, true_hw int32
+    `[B, 2]`, image_id int32 `[B]`. `staging_size` is an int (square) or
+    an (Sh, Sw) pair (e.g. Cityscapes 2:1 frames). Sources larger than
+    the canvas on either side are downscaled (aspect-preserving) to fit,
+    and true_hw records the staged size.
+    """
+    images, _, instances = read_list_file(data_dir, data_list)
+    if not instances:
+        instances = [''] * len(images)
+    if isinstance(staging_size, (tuple, list)):
+        sh, sw = int(staging_size[0]), int(staging_size[1])
+    else:
+        sh = sw = int(staging_size)
+
+    ds = tf.data.Dataset.from_tensor_slices(
+        (list(images), list(instances),
+         np.arange(len(images), dtype=np.int32)))
+
+    def load(img_path, inst_path, idx):
+        img = tf.io.decode_image(tf.io.read_file(img_path), channels=3,
+                                 expand_animations=False)     # uint8
+        inst = tf.cond(tf.strings.length(inst_path) > 0,
+                       lambda: _decode_label(inst_path),
+                       lambda: tf.zeros(tf.shape(img)[:2], tf.int32))
+        shape = tf.shape(img)
+        h, w = shape[0], shape[1]
+        ratio = tf.minimum(
+            1.0, tf.minimum(sh / tf.cast(h, tf.float32),
+                            sw / tf.cast(w, tf.float32)))
+        nh = tf.cast(tf.cast(h, tf.float32) * ratio, tf.int32)
+        nw = tf.cast(tf.cast(w, tf.float32) * ratio, tf.int32)
+        img = tf.cond(
+            ratio < 1.0,
+            lambda: tf.cast(tf.image.resize(tf.cast(img, tf.float32),
+                                            [nh, nw], method='bilinear'),
+                            tf.uint8),
+            lambda: img)
+        inst = tf.cond(
+            ratio < 1.0,
+            lambda: tf.cast(tf.image.resize(
+                tf.cast(inst[..., None], tf.float32), [nh, nw],
+                method='nearest')[..., 0], tf.int32),
+            lambda: inst)
+        shape = tf.shape(img)
+        img = tf.pad(img, [[0, sh - shape[0]], [0, sw - shape[1]], [0, 0]])
+        inst = tf.pad(inst, [[0, sh - shape[0]], [0, sw - shape[1]]])
+        img.set_shape([sh, sw, 3])
+        inst.set_shape([sh, sw])
+        return img, inst, tf.stack([shape[0], shape[1]]), idx
+
+    ds = ds.map(load, num_parallel_calls=tf.data.AUTOTUNE)
+    if cache_decoded:
+        ds = ds.cache()
+    ds = ds.repeat()
+    if shuffle:
+        ds = ds.shuffle(min(len(images), 8192), seed=seed,
+                        reshuffle_each_iteration=True)
+    ds = ds.batch(batch_images, drop_remainder=True)
+
+    def collate(img, inst, hw, idx):
+        return {'image_raw': img, 'instance_raw': inst, 'true_hw': hw,
+                'image_id': idx}
+
+    ds = ds.map(collate, num_parallel_calls=tf.data.AUTOTUNE)
+    return ds.prefetch(tf.data.AUTOTUNE)
+
+
+class TfRawLoader:
+    """Iterator facade over `make_raw_dataset`."""
+
+    def __init__(self, data_dir, data_list, staging_size, batch_images,
+                 **kwargs):
+        self._ds = make_raw_dataset(data_dir, data_list, staging_size,
+                                    batch_images, **kwargs)
+        self._it = self._ds.as_numpy_iterator()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._it)
+
+    def close(self):
+        pass
+
+
 class TfDataLoader:
     """Iterator facade matching `PrefetchLoader`'s contract."""
 

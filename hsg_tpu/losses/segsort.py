@@ -158,15 +158,19 @@ class SegSortLoss:
     AUTO_CHUNK_THRESHOLD = 8192  # prototypes above this -> tiled impls
 
     def __init__(self, concentration=10.0, group_mode='segsort+',
-                 reduction='mean', chunk=None, impl='auto'):
+                 reduction='mean', chunk=None, impl='auto',
+                 nca_dtype='float32'):
         """impl: 'auto' (dense below AUTO_CHUNK_THRESHOLD prototypes, else
         the fused Pallas kernel on TPU / chunked scan elsewhere), 'dense',
-        'chunked', or 'pallas'."""
+        'chunked', or 'pallas'. nca_dtype: MXU contraction dtype for the
+        Pallas route ('bfloat16' trades <1e-2 nll error for ~2x MXU
+        throughput; accumulation stays f32)."""
         self.concentration = concentration
         self.group_mode = group_mode
         self.reduction = reduction
         self.chunk = chunk
         self.impl = impl
+        self.nca_dtype = nca_dtype
 
     def __repr__(self):
         return (f'SegSortLoss(concentration={self.concentration:.2f}, '
@@ -191,7 +195,8 @@ class SegSortLoss:
             return segsort_log_likelihood_pallas(
                 embeddings, semantic_labels, prototype_ids, prototypes,
                 prototype_semantic_labels, self.concentration,
-                self.group_mode, prototype_valid, pixel_valid)
+                self.group_mode, prototype_valid, pixel_valid,
+                compute_dtype=self.nca_dtype)
         if impl == 'chunked':
             from hsg_tpu.losses.nca_chunked import (
                 segsort_log_likelihood_chunked)

@@ -61,21 +61,28 @@ class Hsg:
 
     def __init__(self, config, variant: str = 'default'):
         t = config.train
-        self.img_sim = (segsort_loss.SegSortLoss(t.img_sim_concentration)
+        # MXU dtype for the Pallas NCA route (train.nca_compute_dtype;
+        # 'bfloat16' = ~2x kernel throughput, <1e-2 nll error).
+        nca = t.get('nca_compute_dtype', 'float32')
+        self.img_sim = (segsort_loss.SegSortLoss(t.img_sim_concentration,
+                                                 nca_dtype=nca)
                         if t.img_sim_loss_types == 'segsort' else None)
         self.img_sim_weight = t.img_sim_loss_weight
-        self.fine_hrchy = (segsort_loss.SegSortLoss(t.fine_hrchy_concentration)
+        self.fine_hrchy = (segsort_loss.SegSortLoss(t.fine_hrchy_concentration,
+                                                    nca_dtype=nca)
                            if t.fine_hrchy_loss_types == 'segsort' else None)
         self.fine_hrchy_weight = t.fine_hrchy_loss_weight
         self.coarse_hrchy = (
-            segsort_loss.SegSortLoss(t.coarse_hrchy_concentration)
+            segsort_loss.SegSortLoss(t.coarse_hrchy_concentration,
+                                     nca_dtype=nca)
             if t.coarse_hrchy_loss_types == 'segsort' else None)
         self.coarse_hrchy_weight = t.coarse_hrchy_loss_weight
         self.dmon = (graph_loss.DMonLoss(adj_knn=t.dmon_knn)
                      if t.dmon_loss_types == 'dmon' else None)
         self.dmon_weight = t.dmon_loss_weight
         self.centroid_cont = (
-            segsort_loss.SegSortLoss(t.centroid_cont_concentration)
+            segsort_loss.SegSortLoss(t.centroid_cont_concentration,
+                                     nca_dtype=nca)
             if t.centroid_cont_loss_types == 'segsort' else None)
         self.centroid_cont_weight = t.centroid_cont_loss_weight
         self.label_divisor = config.network.label_divisor
@@ -232,13 +239,16 @@ class Segsort:
 
     def __init__(self, config):
         t = config.train
-        self.sem_ann = (segsort_loss.SegSortLoss(t.sem_ann_concentration)
+        nca = t.get('nca_compute_dtype', 'float32')
+        self.sem_ann = (segsort_loss.SegSortLoss(t.sem_ann_concentration,
+                                                 nca_dtype=nca)
                         if t.sem_ann_loss_types == 'segsort' else None)
         self.sem_ann_weight = t.sem_ann_loss_weight
         self.sem_occ = (segsort_loss.SetSegSortLoss(t.sem_occ_concentration)
                         if t.sem_occ_loss_types == 'segsort' else None)
         self.sem_occ_weight = t.sem_occ_loss_weight
-        self.img_sim = (segsort_loss.SegSortLoss(t.img_sim_concentration)
+        self.img_sim = (segsort_loss.SegSortLoss(t.img_sim_concentration,
+                                                 nca_dtype=nca)
                         if t.img_sim_loss_types == 'segsort' else None)
         self.img_sim_weight = t.img_sim_loss_weight
         # Feature-affinity regularization: a SetSegSort over NN pseudo-

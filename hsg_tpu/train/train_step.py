@@ -75,23 +75,46 @@ def make_train_step(embedding_model, prediction_model, schedule,
     kwargs). When set, batch['image'] is expected RAW [0, 1] and the
     ColorJitter/grayscale/normalize stage runs on-device at the top of
     the step (hsg_tpu/data/device_aug.py) — offloading the host input
-    pipeline's most expensive stage.
+    pipeline's most expensive stage. With an additional 'geometric' dict
+    ({'crop', 'num_views', 'scale_min', 'scale_max'}), the batch instead
+    carries raw staged canvases ('image_raw' uint8 `[B, S, S, 3]`,
+    'instance_raw' `[B, S, S]`, 'true_hw' `[B, 2]`) and the ENTIRE view
+    pipeline (mirror/scale/crop + jitter) runs as fused gathers inside
+    the step — the host only decodes and stacks.
     """
     from hsg_tpu.train import memory_bank as mb_lib
 
     def run_losses(params, batch_stats, batch, dropout_rng, targets):
-        images = batch['image']
+        sem = batch.get('semantic_label')
+        inst = batch.get('instance_label')
         if device_photometric is not None:
             from hsg_tpu.data import device_aug
             dp = dict(device_photometric)
-            aug_rng, dropout_rng = jax.random.split(dropout_rng)
+            geo = dp.pop('geometric', None)
+            mean, std = dp.pop('mean'), dp.pop('std')
+            if geo is not None:
+                geo_rng, aug_rng, dropout_rng = jax.random.split(
+                    dropout_rng, 3)
+                images, inst = device_aug.random_geometric_views(
+                    batch['image_raw'], batch['instance_raw'],
+                    batch['true_hw'], geo_rng, geo['crop'],
+                    num_views=geo.get('num_views', 2),
+                    scale_min=geo.get('scale_min', 0.5),
+                    scale_max=geo.get('scale_max', 1.5),
+                    image_pad=mean)
+                sem = jnp.zeros_like(inst)
+            else:
+                images = batch['image']
+                aug_rng, dropout_rng = jax.random.split(dropout_rng)
             images = device_aug.photometric_and_normalize(
-                images, aug_rng, dp.pop('mean'), dp.pop('std'), **dp)
+                images, aug_rng, mean, std, **dp)
+        else:
+            images = batch['image']
         outputs, mutated = embedding_model.apply(
             {'params': params, 'batch_stats': batch_stats},
             images,
-            batch.get('semantic_label'),
-            batch.get('instance_label'),
+            sem,
+            inst,
             train=True,
             mutable=['batch_stats'],
             rngs={'dropout': dropout_rng})
@@ -121,9 +144,21 @@ def make_train_step(embedding_model, prediction_model, schedule,
         metrics.update(aux)
         return new_state, metrics, outputs
 
+    geo_views = None
+    if device_photometric and device_photometric.get('geometric'):
+        geo_views = device_photometric['geometric'].get('num_views', 2)
+
+    def image_index_targets(batch):
+        idx = batch.get('image_index')
+        if idx is not None and geo_views:
+            # Raw-staged batches carry one row per IMAGE; the loss wants
+            # one id per view row (consecutive views share their id).
+            idx = jnp.repeat(idx, geo_views)
+        return {'image_index': idx}
+
     if not use_memory_bank:
         def train_step(state: TrainState, batch, dropout_rng):
-            targets = {'image_index': batch.get('image_index')}
+            targets = image_index_targets(batch)
             loss_out, grads = jax.value_and_grad(
                 lambda p: run_losses(p, state.batch_stats, batch,
                                      dropout_rng, targets),
@@ -135,8 +170,11 @@ def make_train_step(embedding_model, prediction_model, schedule,
 
     def train_step_mem(state: TrainState, batch, dropout_rng,
                        bank: mb_lib.MemoryBank):
-        b = batch['image'].shape[0]
-        targets = {'image_index': batch.get('image_index')}
+        if geo_views:
+            b = batch['image_raw'].shape[0] * geo_views
+        else:
+            b = batch['image'].shape[0]
+        targets = image_index_targets(batch)
         targets.update(mb_lib.as_targets(bank, state.step, b))
         loss_out, grads = jax.value_and_grad(
             lambda p: run_losses(p, state.batch_stats, batch, dropout_rng,

@@ -29,10 +29,23 @@ def _write_image_panels(writer, embedding_model, state, batch, config, it):
         from hsg_tpu.utils import vis
         variables = {'params': jax.device_get(state.params),
                      'batch_stats': jax.device_get(state.batch_stats)}
-        img = np.asarray(batch['image'][:2])
-        if config.train.get('device_photometric', False):
+        if 'image' not in batch:
+            # Raw-staged batches (tf_raw pipeline): normalize a 2-view
+            # stand-in from the first staged canvases.
+            crop = int(config.train.crop_size[0])
+            img = np.asarray(batch['image_raw'][:2, :crop, :crop],
+                             np.float32) / 255.0
+            sem = np.zeros(img.shape[:3], np.int32)
+            inst = np.asarray(batch['instance_raw'][:2, :crop, :crop],
+                              np.int32)
+            batch = {'semantic_label': sem, 'instance_label': inst}
             img = ((img - np.asarray(config.network.pixel_means))
                    / np.asarray(config.network.pixel_stds))
+        else:
+            img = np.asarray(batch['image'][:2])
+            if config.train.get('device_photometric', False):
+                img = ((img - np.asarray(config.network.pixel_means))
+                       / np.asarray(config.network.pixel_stds))
         out = embedding_model.apply(
             variables, img,
             method=lambda m, im: m.generate_embeddings(im))
@@ -93,7 +106,40 @@ def main():
     # (hsg_tpu/data/device_aug.py) — 3-4x host throughput at stage-1 rates.
     photometric = ('device' if config.train.get('device_photometric', False)
                    else 'host')
-    if config.train.get('data_pipeline', 'python') == 'tf':
+    pipeline = config.train.get('data_pipeline', 'python')
+    raw_mode = pipeline in ('tf_raw', 'device_resident')
+    resident = pipeline == 'device_resident'
+    if resident and jax.process_count() > 1:
+        raise NotImplementedError(
+            'device_resident staging is single-host (fits-in-HBM '
+            'datasets); use tf_raw for multi-host streaming')
+    if raw_mode:
+        # FULLY on-device augmentation: the host only decodes (cached)
+        # and stacks fixed-size uint8 canvases; mirror/scale/crop run as
+        # fused gathers inside the jitted step (data/device_aug.py
+        # `random_geometric_views`) and photometric jitter follows.
+        from hsg_tpu.data.tf_pipeline import TfRawLoader
+        photometric = 'device'
+        if resident:
+            # Stage the WHOLE dataset into HBM once; batch selection and
+            # all augmentation then run inside the step — zero
+            # steady-state host work (sampling is i.i.d. uniform rather
+            # than epoch-shuffled). For fits-in-HBM datasets this runs
+            # at the step-time bound (docs/DESIGN.md).
+            loader = TfRawLoader(
+                data_dir, data_list,
+                staging_size=config.train.get('staging_size', 512),
+                batch_images=min(local_images, 8), shuffle=False,
+                seed=0, cache_decoded=False)
+        else:
+            loader = TfRawLoader(
+                data_dir, data_list,
+                staging_size=config.train.get('staging_size', 512),
+                batch_images=local_images,
+                shuffle=config.train.shuffle,
+                seed=jax.process_index(),
+                cache_decoded=config.train.get('cache_decoded', True))
+    elif pipeline == 'tf':
         # High-throughput tf.data path (hsg_tpu/data/tf_pipeline.py).
         from hsg_tpu.data.tf_pipeline import TfDataLoader
         loader = TfDataLoader(
@@ -139,6 +185,16 @@ def main():
     def to_batch(sample):
         # Keep host numpy until shard_batch places it directly onto the
         # mesh (avoids a device-0 staging copy + reshard).
+        if raw_mode:
+            n_img = sample['image_raw'].shape[0]
+            return {
+                'image_raw': np.asarray(sample['image_raw'], np.uint8),
+                'instance_raw': np.asarray(sample['instance_raw'],
+                                           np.int32),
+                'true_hw': np.asarray(sample['true_hw'], np.int32),
+                'image_index': (np.arange(n_img)
+                                + image_id_offset).astype(np.int32),
+            }
         rows = sample['image'].shape[0]
         return {
             'image': np.asarray(sample['image'], np.float32),
@@ -148,11 +204,49 @@ def main():
                             + image_id_offset).astype(np.int32),
         }
 
-    batch = to_batch(next(loader))
+    resident_data = None
+    if resident:
+        # Stage every listed image once (the loader repeats; stop at the
+        # list length).
+        with open(data_list) as f:
+            n_total = sum(1 for line in f if line.strip())
+        imgs, insts, hws = [], [], []
+        staged = 0
+        while staged < n_total:
+            s = next(loader)
+            imgs.append(np.asarray(s['image_raw'], np.uint8))
+            insts.append(np.asarray(s['instance_raw'], np.int16))
+            hws.append(np.asarray(s['true_hw'], np.int32))
+            staged += s['image_raw'].shape[0]
+        resident_data = {
+            'image_raw': np.concatenate(imgs)[:n_total],
+            'instance_raw': np.concatenate(insts)[:n_total],
+            'true_hw': np.concatenate(hws)[:n_total],
+        }
+        print(f'device-resident dataset: {n_total} images, '
+              f'{sum(a.nbytes for a in resident_data.values()) / 2**20:.0f}'
+              f' MiB staged to HBM', flush=True)
+        # Host-side stand-in for tensorboard panels.
+        batch = {'image_raw': resident_data['image_raw'][:2],
+                 'instance_raw': resident_data['instance_raw'][:2]
+                 .astype(np.int32)}
+    else:
+        batch = to_batch(next(loader))
+    if raw_mode:
+        # Model init wants the VIEW shape the step will produce.
+        ch, cw = config.train.crop_size
+        rows = local_images * num_views
+        init_batch = {
+            'image': np.zeros((rows, ch, cw, 3), np.float32),
+            'semantic_label': np.zeros((rows, ch, cw), np.int32),
+            'instance_label': np.zeros((rows, ch, cw), np.int32),
+        }
+    else:
+        init_batch = batch
 
     hw_mult, hb_mult = head_multipliers(config)
     state, update_fn = ts_lib.create_train_state(
-        embedding_model, jax.random.PRNGKey(235), batch,
+        embedding_model, jax.random.PRNGKey(235), init_batch,
         head_weight_mult=hw_mult, head_bias_mult=hb_mult,
         momentum=config.train.momentum,
         weight_decay=config.train.weight_decay,
@@ -203,20 +297,52 @@ def main():
         }
         if not config.train.get('random_grayscale', True):
             device_photometric.update(jitter_p=0.0, grayscale_p=0.0)
-    step_fn = jax.jit(ts_lib.make_train_step(
+        if raw_mode:
+            device_photometric['geometric'] = {
+                'crop': int(config.train.crop_size[0]),
+                'num_views': num_views,
+                'scale_min': 0.5 if config.train.random_scale else 1.0,
+                'scale_max': 1.5 if config.train.random_scale else 1.0,
+            }
+    base_step = ts_lib.make_train_step(
         embedding_model, prediction_model, schedule, update_fn,
         grad_clip=config.train.get('grad_clip'),
         use_memory_bank=bank_size > 0,
-        device_photometric=device_photometric),
-        donate_argnums=(0, 3) if bank_size > 0 else (0,))
+        device_photometric=device_photometric)
 
     mesh = mesh_lib.create_mesh()
+    if resident:
+        if bank_size > 0:
+            raise NotImplementedError(
+                'device_resident + memory_bank_size > 0 not supported')
+        n_total = resident_data['image_raw'].shape[0]
+
+        def resident_step(state, data, rng):
+            rng_sel, rng_step = jax.random.split(rng)
+            idx = jax.random.randint(rng_sel, (local_images,), 0, n_total)
+            sel = {
+                'image_raw': data['image_raw'][idx],
+                'instance_raw': data['instance_raw'][idx].astype(jnp.int32),
+                'true_hw': data['true_hw'][idx],
+                'image_index': idx.astype(jnp.int32),
+            }
+            sel = jax.lax.with_sharding_constraint(
+                sel, mesh_lib.batch_sharding(mesh))
+            return base_step(state, sel, rng_step)
+
+        step_fn = jax.jit(resident_step, donate_argnums=(0,))
+        resident_data = jax.device_put(
+            resident_data, mesh_lib.replicated(mesh))
+    else:
+        step_fn = jax.jit(base_step,
+                          donate_argnums=(0, 3) if bank_size > 0 else (0,))
     state = mesh_lib.replicate(state, mesh)
     bank = None
     if bank_size > 0:
         from hsg_tpu.train import memory_bank as mb_lib
-        group = (batch['image'].shape[0]
-                 * config.network.max_segments_per_view)
+        rows = (local_images * num_views if raw_mode
+                else batch['image'].shape[0])
+        group = rows * config.network.max_segments_per_view
         bank = mb_lib.create(bank_size, group,
                              config.network.embedding_dim)
         bank = mesh_lib.replicate(bank, mesh)
@@ -240,15 +366,18 @@ def main():
     rng = jax.random.PRNGKey(1235)
     t0 = time.time()
     for it in range(curr_iter, max_iter):
-        sharded = mesh_lib.shard_batch(batch, mesh)
         rng, step_rng = jax.random.split(rng)
-        if bank is not None:
-            state, metrics, bank = step_fn(state, sharded, step_rng, bank)
+        if resident:
+            state, metrics = step_fn(state, resident_data, step_rng)
         else:
-            state, metrics = step_fn(state, sharded, step_rng)
-
-        # Overlap: prepare the next host batch while the device runs.
-        batch = to_batch(next(loader))
+            sharded = mesh_lib.shard_batch(batch, mesh)
+            if bank is not None:
+                state, metrics, bank = step_fn(state, sharded, step_rng,
+                                               bank)
+            else:
+                state, metrics = step_fn(state, sharded, step_rng)
+            # Overlap: prepare the next host batch while the device runs.
+            batch = to_batch(next(loader))
 
         if profile_dir and it == curr_iter + 2:
             jax.profiler.start_trace(profile_dir)

@@ -94,3 +94,133 @@ def test_train_step_device_photometric_matches_host_normalization():
     _, m_dev = dev_step(state, raw, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(m_dev['loss']), float(m_host['loss']),
                                rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Geometric warp (mirror -> scale -> pad -> crop as one fused gather).
+
+
+def _host_view(img, lab, flip, ratio, u_y, u_x, crop, image_pad,
+               label_pad=255):
+    """The host chain with explicit params (transforms.py semantics)."""
+    import cv2
+    if flip:
+        img, lab = img[:, ::-1].copy(), lab[:, ::-1].copy()
+    h, w = img.shape[:2]
+    h2, w2 = max(int(ratio * h), 1), max(int(ratio * w), 1)
+    img = cv2.resize(img, (w2, h2), interpolation=cv2.INTER_LINEAR)
+    lab = cv2.resize(lab.astype(np.float32), (w2, h2),
+                     interpolation=cv2.INTER_NEAREST).astype(lab.dtype)
+    img = T.resize_with_pad(img, (crop, crop), image_pad)
+    lab = T.resize_with_pad(lab, (crop, crop), label_pad)
+    ph, pw = img.shape[:2]
+    sy = int(np.floor(u_y * (ph - crop)))
+    sx = int(np.floor(u_x * (pw - crop)))
+    return (img[sy:sy + crop, sx:sx + crop],
+            lab[sy:sy + crop, sx:sx + crop])
+
+
+def test_warp_view_matches_host_chain():
+    import pytest
+    pytest.importorskip('cv2')
+    rng = np.random.default_rng(5)
+    S, H, W, crop = 96, 80, 72, 48
+    canvas = np.zeros((S, S, 3), np.float32)
+    canvas[:H, :W] = rng.uniform(0, 1, (H, W, 3))
+    lab_canvas = np.zeros((S, S), np.int32)
+    lab_canvas[:H, :W] = rng.integers(0, 30, (H, W))
+    pad = (0.4, 0.5, 0.6)
+
+    for flip, ratio, u_y, u_x in [(False, 1.0, 0.0, 0.0),
+                                  (True, 1.0, 0.3, 0.7),
+                                  (False, 1.3, 0.5, 0.2),
+                                  (True, 0.55, 0.0, 0.9),
+                                  (False, 0.5, 0.8, 0.1)]:
+        got_img, got_lab = device_aug.warp_view(
+            jnp.asarray(canvas), jnp.asarray(lab_canvas),
+            jnp.int32(H), jnp.int32(W), jnp.asarray(flip),
+            jnp.float32(ratio), jnp.float32(u_y), jnp.float32(u_x),
+            crop, pad)
+        want_img, want_lab = _host_view(
+            canvas[:H, :W], lab_canvas[:H, :W], flip, ratio, u_y, u_x,
+            crop, pad)
+        np.testing.assert_allclose(np.asarray(got_img), want_img,
+                                   atol=2e-2,
+                                   err_msg=f'{flip} {ratio} {u_y} {u_x}')
+        # Nearest-neighbor rounding can differ along region borders by
+        # one source pixel; require near-total agreement instead of
+        # exactness.
+        mismatch = np.mean(np.asarray(got_lab) != want_lab)
+        assert mismatch < 0.06, (flip, ratio, u_y, u_x, mismatch)
+
+
+def test_random_geometric_views_shapes_and_padding():
+    rng = np.random.default_rng(0)
+    b, S, crop, v = 3, 64, 32, 2
+    imgs = (rng.uniform(0, 255, (b, S, S, 3))).astype(np.uint8)
+    labs = rng.integers(0, 9, (b, S, S)).astype(np.int32)
+    hw = np.asarray([[64, 64], [40, 50], [64, 30]], np.int32)
+    out_i, out_l = device_aug.random_geometric_views(
+        jnp.asarray(imgs), jnp.asarray(labs), jnp.asarray(hw),
+        jax.random.PRNGKey(0), crop, num_views=v,
+        image_pad=(0.25, 0.5, 0.75))
+    assert out_i.shape == (b * v, crop, crop, 3)
+    assert out_l.shape == (b * v, crop, crop)
+    out_i = np.asarray(out_i)
+    out_l = np.asarray(out_l)
+    assert out_i.min() >= 0.0 and out_i.max() <= 1.0
+    # Wherever the label is padding (255), the image must be the pad color.
+    pad_mask = out_l == 255
+    if pad_mask.any():
+        padded = out_i[pad_mask]
+        np.testing.assert_allclose(
+            padded, np.broadcast_to((0.25, 0.5, 0.75), padded.shape),
+            atol=1e-6)
+    # Views of the same image differ (independent augmentation).
+    assert np.abs(out_i[0] - out_i[1]).max() > 1e-3
+
+
+def test_train_step_raw_geometric_mode():
+    """Full raw-staged path: the step consumes uint8 canvases + true
+    sizes, produces views on device, and trains to a finite loss."""
+    from test_train_step import _cfg, _model
+    from hsg_tpu.models import predictions as pred_lib
+    from hsg_tpu.train import optimizer as opt_lib
+    from hsg_tpu.train import train_step as ts_lib
+
+    cfg = _cfg()
+    model = _model(cfg)
+    prediction = pred_lib.hsg(cfg)
+    rng = np.random.default_rng(2)
+    n_img, S, crop, v = 2, 48, 32, 2
+
+    raw_batch = {
+        'image_raw': jnp.asarray(
+            rng.integers(0, 255, (n_img, S, S, 3)), jnp.uint8),
+        'instance_raw': jnp.asarray(
+            rng.integers(0, 6, (n_img, S, S)), jnp.int32),
+        'true_hw': jnp.asarray([[48, 48], [40, 44]], jnp.int32),
+        'image_index': jnp.arange(n_img, dtype=jnp.int32),
+    }
+    init_batch = {
+        'image': jnp.zeros((n_img * v, crop, crop, 3), jnp.float32),
+        'semantic_label': jnp.zeros((n_img * v, crop, crop), jnp.int32),
+        'instance_label': jnp.zeros((n_img * v, crop, crop), jnp.int32),
+    }
+    state, update_fn = ts_lib.create_train_state(
+        model, jax.random.PRNGKey(0), init_batch)
+    schedule = opt_lib.schedule_from_config(cfg)
+    step = jax.jit(ts_lib.make_train_step(
+        model, prediction, schedule, update_fn,
+        device_photometric={
+            'mean': (0.4, 0.45, 0.5), 'std': (0.2, 0.25, 0.3),
+            'geometric': {'crop': crop, 'num_views': v},
+        }))
+    new_state, metrics = step(state, raw_batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['loss']))
+    assert int(new_state.step) == 1
+    # A second step with different rng gives a different (finite) loss —
+    # augmentation is live inside the step.
+    _, metrics2 = step(state, raw_batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics2['loss']))
+    assert abs(float(metrics2['loss']) - float(metrics['loss'])) > 1e-7

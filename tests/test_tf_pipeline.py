@@ -131,3 +131,42 @@ def test_tf_loader_throughput_smoke(synth):
                       crop_size=(32, 32), batch_images=4, seed=1)
     for _ in range(5):
         next(dl)
+
+
+def test_tf_raw_loader_contract(synth):
+    """Raw staging pipeline: uint8 canvases, true sizes, superpixels."""
+    from hsg_tpu.data.tf_pipeline import TfRawLoader
+    dl = TfRawLoader(synth, os.path.join(synth, 'list.txt'),
+                     staging_size=48, batch_images=2, seed=0)
+    for _ in range(3):
+        b = next(dl)
+        assert b['image_raw'].shape == (2, 48, 48, 3)
+        assert b['image_raw'].dtype == np.uint8
+        assert b['instance_raw'].shape == (2, 48, 48)
+        assert b['true_hw'].shape == (2, 2)
+        # Source is 64x64 > staging 48 -> downscaled to fit, true_hw
+        # records the staged size.
+        assert (b['true_hw'] == 48).all()
+        assert b['instance_raw'].max() > 0
+
+
+def test_tf_raw_loader_no_downscale(synth):
+    from hsg_tpu.data.tf_pipeline import TfRawLoader
+    dl = TfRawLoader(synth, os.path.join(synth, 'list.txt'),
+                     staging_size=96, batch_images=2, seed=0)
+    b = next(dl)
+    assert b['image_raw'].shape == (2, 96, 96, 3)
+    assert (b['true_hw'] == 64).all()
+    # Padding beyond the true region is zero.
+    assert b['image_raw'][:, 64:].max() == 0
+    assert b['instance_raw'][:, :, 64:].max() == 0
+
+
+def test_tf_raw_loader_rect_staging(synth):
+    from hsg_tpu.data.tf_pipeline import TfRawLoader
+    dl = TfRawLoader(synth, os.path.join(synth, 'list.txt'),
+                     staging_size=(32, 96), batch_images=2, seed=0)
+    b = next(dl)
+    assert b['image_raw'].shape == (2, 32, 96, 3)
+    # 64x64 source limited by height 32 -> staged 32x32.
+    assert (b['true_hw'] == 32).all()

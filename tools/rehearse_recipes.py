@@ -73,6 +73,8 @@ def run(stage, steps, profile_dir=None):
     config = update_config(default_config(), yaml_path)
     if seg_override:
         config.network.max_segments_per_view = seg_override
+    if os.environ.get('HSG_NCA_DTYPE'):
+        config.train.nca_compute_dtype = os.environ['HSG_NCA_DTYPE']
     config.network.remat = (stage != 'stage1')  # 448² needs remat headroom
 
     num_views = config.network.num_views
