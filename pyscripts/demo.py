@@ -87,7 +87,15 @@ def main():
     parser.add_argument('--steps', type=int, default=3000)
     parser.add_argument('--stage2_steps', type=int, default=800)
     parser.add_argument('--images', type=int, default=64)
+    parser.add_argument('--pipeline', default='python',
+                        choices=['python', 'tf', 'tf_raw',
+                                 'device_resident'],
+                        help='train.data_pipeline for both stages '
+                             '(device_resident = fully on-device '
+                             'augmentation from an HBM-resident dataset)')
     args = parser.parse_args()
+    BASE_CFG['train']['data_pipeline'] = args.pipeline
+    BASE_CFG['train']['staging_size'] = 128
 
     from make_synthetic_data import make_dataset
     data = os.path.join(args.workdir, 'data')

@@ -61,6 +61,23 @@ def _write_image_panels(writer, embedding_model, state, batch, config, it):
                           ('semantic_label', sem),
                           ('instance_label', inst)):
             writer.add_image(name, img[0].transpose(2, 0, 1), it)
+
+        # Hierarchy panels (beyond-reference extra): colorized per-pixel
+        # fine/coarse group maps from the clustering transformers.
+        sem_in = np.asarray(batch['semantic_label'][:2])
+        inst_in = np.asarray(batch['instance_label'][:2])
+        full = embedding_model.apply(
+            variables, np.asarray(img, np.float32),
+            sem_in, inst_in, train=False)
+        h, w = full['embedding'].shape[1:3]
+        for key, name in (('finehrchy_cluster_index', 'fine_hierarchy'),
+                          ('coarsehrchy_cluster_index',
+                           'coarse_hierarchy')):
+            if key not in full:
+                continue
+            m = np.asarray(full[key][:1]).reshape(1, h, w)
+            colored = vis.convert_label_to_color(m, color_map)
+            writer.add_image(name, colored[0].transpose(2, 0, 1), it)
     except Exception as e:  # vis must never take down training
         print(f'tensorboard image panel failed: {e}', flush=True)
 

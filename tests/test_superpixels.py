@@ -132,3 +132,13 @@ def test_superpixels_bounded_and_aligned():
     right = np.bincount(sp[:, 34:].reshape(-1), minlength=n)
     overlap = np.minimum(left, right).sum() / sp[:, :30].size
     assert overlap < 0.5
+
+
+def test_pmi_half_res_mode():
+    rng = np.random.default_rng(3)
+    img, gt = _synthetic_scene(rng, size=96)
+    sp = generate(img.astype(np.float32), max_segments=32, half_res=True)
+    assert sp.shape == (96, 96)
+    assert sp.max() + 1 <= 32
+    # Half-res + 2x nearest upsample: still a usable partition.
+    assert _asa(gt, sp) > 0.9

@@ -249,7 +249,15 @@ def ucm_merge(labels: np.ndarray, strength: np.ndarray,
 
 
 def generate(image: np.ndarray, max_segments: int = 48,
-             globalize: bool = True) -> np.ndarray:
+             globalize: bool = True, half_res: bool = False) -> np.ndarray:
+    """half_res reproduces the PMI tool's resolution scheme
+    (generate_pmi_owt_ucm.m:1-80): segment at 0.5x, then 2x nearest
+    upsample back — used with a larger budget (<=1024 segments) on
+    high-resolution frames like Cityscapes."""
+    h0, w0 = image.shape[:2]
+    if half_res:
+        image = cv2.resize(image, (w0 // 2, h0 // 2),
+                           interpolation=cv2.INTER_AREA)
     strength = boundary_strength(image)
     if globalize:
         try:
@@ -258,7 +266,11 @@ def generate(image: np.ndarray, max_segments: int = 48,
         except Exception:
             pass  # scipy missing or eigensolve failed: local-only map
     over = watershed_oversegment(image, strength)
-    return ucm_merge(over, strength, max_segments).astype(np.int32)
+    labels = ucm_merge(over, strength, max_segments).astype(np.int32)
+    if half_res:
+        labels = cv2.resize(labels, (w0, h0),
+                            interpolation=cv2.INTER_NEAREST)
+    return labels
 
 
 def main():
@@ -270,6 +282,11 @@ def main():
     parser.add_argument('--max_segments', type=int, default=48)
     parser.add_argument('--no_globalize', action='store_true',
                         help='skip the sPb spectral globalization step')
+    parser.add_argument('--pmi', action='store_true',
+                        help='PMI-tool resolution scheme: segment at '
+                             '0.5x, 2x nearest upsample (use with '
+                             '--max_segments 1024; '
+                             'generate_pmi_owt_ucm.m parity)')
     args = parser.parse_args()
 
     os.makedirs(args.save_dir, exist_ok=True)
@@ -279,7 +296,8 @@ def main():
         img = np.asarray(Image.open(os.path.join(args.data_dir, rel))
                          .convert('RGB'), np.float32) / 255.0
         sp = generate(img, args.max_segments,
-                      globalize=not args.no_globalize)
+                      globalize=not args.no_globalize,
+                      half_res=args.pmi)
         name = os.path.splitext(os.path.basename(rel))[0] + '.png'
         Image.fromarray(sp.astype(np.uint16)).save(
             os.path.join(args.save_dir, name))
