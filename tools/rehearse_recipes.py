@@ -75,7 +75,10 @@ def run(stage, steps, profile_dir=None):
         config.network.max_segments_per_view = seg_override
     if os.environ.get('HSG_NCA_DTYPE'):
         config.train.nca_compute_dtype = os.environ['HSG_NCA_DTYPE']
-    config.network.remat = (stage != 'stage1')  # 448² needs remat headroom
+    # remat OFF by default: stage-2 at batch 48 @448² fits 16 GB HBM
+    # without it, and the backward runs 20% faster (134.5 vs 167.5
+    # ms/step measured). HSG_REMAT=1 re-enables for bigger batches.
+    config.network.remat = os.environ.get('HSG_REMAT') == '1'
 
     num_views = config.network.num_views
     protos = rows * config.network.max_segments_per_view
