@@ -93,9 +93,15 @@ def main():
                         help='train.data_pipeline for both stages '
                              '(device_resident = fully on-device '
                              'augmentation from an HBM-resident dataset)')
+    parser.add_argument('--tta', action='store_true',
+                        help='multi-scale (0.75/1.0/1.25) + flip TTA at '
+                             'inference')
     args = parser.parse_args()
     BASE_CFG['train']['data_pipeline'] = args.pipeline
     BASE_CFG['train']['staging_size'] = 128
+    if args.tta:
+        BASE_CFG['test']['scales'] = [0.75, 1.0, 1.25]
+        BASE_CFG['test']['flip'] = True
 
     from make_synthetic_data import make_dataset
     data = os.path.join(args.workdir, 'data')

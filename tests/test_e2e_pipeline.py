@@ -65,3 +65,28 @@ def test_full_pipeline(tmp_path):
                '--gt_dir', os.path.join(data, 'segcls'),
                '--num_classes', '4', '--string_replace', '')
     assert 'mean IOU' in out or 'mean IoU' in out
+
+
+@pytest.mark.slow
+def test_train_pipeline_variants(tmp_path):
+    """The trainer's alternate input pipelines (tf_raw streaming and the
+    HBM-resident dataset) run end-to-end through pyscripts/train.py."""
+    import yaml
+    data = str(tmp_path / 'data')
+    make_dataset(data, n_images=4, size=64)
+    lst = os.path.join(data, 'list.txt')
+    base = yaml.safe_load(
+        open(os.path.join(REPO, 'configs', 'tiny_synthetic.yaml')))
+    for pipeline in ('tf_raw', 'device_resident'):
+        cfg = dict(base)
+        cfg['train'] = dict(base['train'], data_pipeline=pipeline,
+                            staging_size=64)
+        cfg_path = str(tmp_path / f'{pipeline}.yaml')
+        yaml.safe_dump(cfg, open(cfg_path, 'w'))
+        out = _run('train.py', '--data_dir', data, '--data_list', lst,
+                   '--snapshot_dir', str(tmp_path / f'snap_{pipeline}'),
+                   '--cfg_path', cfg_path, '--max_steps', '2')
+        assert 'done: 2 steps' in out, pipeline
+        assert 'nan' not in out, pipeline
+        if pipeline == 'device_resident':
+            assert 'device-resident dataset: 4 images' in out
