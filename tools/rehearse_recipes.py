@@ -40,6 +40,9 @@ STAGES = {
     'stage1': ('configs/coco_stage1.yaml', 128, 224, None),
     'stage1p': ('configs/coco_stage1.yaml', 128, 224, 128),
     'stage2': ('configs/coco_stage2.yaml', 48, 448, None),
+    # Cityscapes 1-stage recipe (bashscripts/cityscapes/train.sh:20-32):
+    # global batch 32 @448², hsg_cs variant, all 5 losses.
+    'cityscapes': ('configs/cityscapes.yaml', 32, 448, None),
 }
 
 
