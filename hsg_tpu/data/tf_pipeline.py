@@ -30,12 +30,6 @@ tf.config.set_visible_devices([], 'GPU')  # host-only pipeline
 from hsg_tpu.data.dataset import read_list_file
 
 
-def _decode_image(path):
-    raw = tf.io.read_file(path)
-    img = tf.image.decode_image(raw, channels=3, expand_animations=False)
-    return tf.cast(img, tf.float32) / 255.0
-
-
 def _decode_label(path):
     raw = tf.io.read_file(path)
     lab = tf.image.decode_png(raw, channels=1, dtype=tf.uint16)
@@ -187,14 +181,20 @@ def make_selfsup_dataset(data_dir, data_list, crop_size,
         (list(images), list(instances), np.arange(len(images), dtype=np.int32)))
 
     def load(img_path, inst_path, idx):
-        img = _decode_image(img_path)
+        # uint8 until after the cache: 3 bytes/pixel cached, not 12.
+        raw = tf.io.read_file(img_path)
+        img = tf.image.decode_image(raw, channels=3,
+                                    expand_animations=False)
         inst = tf.cond(tf.strings.length(inst_path) > 0,
                        lambda: _decode_label(inst_path),
                        lambda: tf.zeros(tf.shape(img)[:2], tf.int32))
         return img, inst, idx
 
+    def to_float(img, inst, idx):
+        return tf.cast(img, tf.float32) / 255.0, inst, idx
+
     if cache_decoded:
-        # Decode once, cache, THEN repeat/shuffle/augment per epoch.
+        # Decode once, cache (as uint8), THEN repeat/shuffle/augment.
         ds = ds.map(load, num_parallel_calls=tf.data.AUTOTUNE).cache()
         ds = ds.repeat()
         if shuffle:
@@ -206,6 +206,7 @@ def make_selfsup_dataset(data_dir, data_list, crop_size,
             ds = ds.shuffle(min(len(images), 8192), seed=seed,
                             reshuffle_each_iteration=True)
         ds = ds.map(load, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.map(to_float, num_parallel_calls=tf.data.AUTOTUNE)
     rng = tf.random.Generator.from_seed(seed)
 
     def augment(img, inst, idx):

@@ -57,10 +57,10 @@ def _write_image_panels(writer, embedding_model, state, batch, config, it):
             np.asarray(batch['semantic_label'][:2]), color_map)
         inst = vis.convert_label_to_color(
             np.asarray(batch['instance_label'][:2]), color_map)
-        for name, img in (('embedding_pca', rgb),
-                          ('semantic_label', sem),
-                          ('instance_label', inst)):
-            writer.add_image(name, img[0].transpose(2, 0, 1), it)
+        for name, panel in (('embedding_pca', rgb),
+                            ('semantic_label', sem),
+                            ('instance_label', inst)):
+            writer.add_image(name, panel[0].transpose(2, 0, 1), it)
 
         # Hierarchy panels (beyond-reference extra): colorized per-pixel
         # fine/coarse group maps from the clustering transformers.
@@ -357,9 +357,12 @@ def main():
     bank = None
     if bank_size > 0:
         from hsg_tpu.train import memory_bank as mb_lib
-        rows = (local_images * num_views if raw_mode
-                else batch['image'].shape[0])
-        group = rows * config.network.max_segments_per_view
+        # The jitted step writes the GLOBAL batch's prototypes into one
+        # bank slot, so size the slot group by global rows.
+        local_rows = (local_images * num_views if raw_mode
+                      else batch['image'].shape[0])
+        group = (local_rows * jax.process_count()
+                 * config.network.max_segments_per_view)
         bank = mb_lib.create(bank_size, group,
                              config.network.embedding_dim)
         bank = mesh_lib.replicate(bank, mesh)
