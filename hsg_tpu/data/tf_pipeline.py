@@ -310,8 +310,11 @@ def make_raw_dataset(data_dir, data_list, staging_size=512,
     ds = ds.batch(batch_images, drop_remainder=True)
 
     def collate(img, inst, hw, idx):
-        return {'image_raw': img, 'instance_raw': inst, 'true_hw': hw,
-                'image_id': idx}
+        # uint16 labels: superpixel ids fit, and the host->device stream
+        # drops from 0.92 to 0.66 MB/view (uint8 image + uint16 label).
+        return {'image_raw': img,
+                'instance_raw': tf.cast(inst, tf.uint16),
+                'true_hw': hw, 'image_id': idx}
 
     ds = ds.map(collate, num_parallel_calls=tf.data.AUTOTUNE)
     return ds.prefetch(tf.data.AUTOTUNE)

@@ -95,8 +95,11 @@ def make_train_step(embedding_model, prediction_model, schedule,
             if geo is not None:
                 geo_rng, aug_rng, dropout_rng = jax.random.split(
                     dropout_rng, 3)
+                # Labels stream as uint16 (host bytes); widen on device
+                # before label arithmetic (inst * label_divisor).
                 images, inst = device_aug.random_geometric_views(
-                    batch['image_raw'], batch['instance_raw'],
+                    batch['image_raw'],
+                    batch['instance_raw'].astype(jnp.int32),
                     batch['true_hw'], geo_rng, geo['crop'],
                     num_views=geo.get('num_views', 2),
                     scale_min=geo.get('scale_min', 0.5),

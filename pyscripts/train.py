@@ -206,8 +206,9 @@ def main():
             n_img = sample['image_raw'].shape[0]
             return {
                 'image_raw': np.asarray(sample['image_raw'], np.uint8),
+                # stays uint16 until on-device widening (train_step)
                 'instance_raw': np.asarray(sample['instance_raw'],
-                                           np.int32),
+                                           np.uint16),
                 'true_hw': np.asarray(sample['true_hw'], np.int32),
                 'image_index': (np.arange(n_img)
                                 + image_id_offset).astype(np.int32),
@@ -232,7 +233,7 @@ def main():
         while staged < n_total:
             s = next(loader)
             imgs.append(np.asarray(s['image_raw'], np.uint8))
-            insts.append(np.asarray(s['instance_raw'], np.int16))
+            insts.append(np.asarray(s['instance_raw'], np.uint16))
             hws.append(np.asarray(s['true_hw'], np.int32))
             staged += s['image_raw'].shape[0]
         resident_data = {

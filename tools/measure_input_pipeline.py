@@ -130,7 +130,7 @@ def measure_e2e(data_dir, data_list, steps=100, raw=False):
             return {
                 'image_raw': np.asarray(sample['image_raw'], np.uint8),
                 'instance_raw': np.asarray(sample['instance_raw'],
-                                           np.int32),
+                                           np.uint16),
                 'true_hw': np.asarray(sample['true_hw'], np.int32),
                 'image_index': np.arange(n, dtype=np.int32),
             }
@@ -254,7 +254,7 @@ def measure_device_resident(data_dir, data_list, steps=150):
     while n_seen < n_total:
         b = next(loader)
         imgs.append(b['image_raw'])
-        insts.append(b['instance_raw'].astype(np.int16))
+        insts.append(b['instance_raw'].astype(np.uint16))
         hws.append(b['true_hw'])
         n_seen += b['image_raw'].shape[0]
     data = {
