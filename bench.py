@@ -38,6 +38,14 @@ Timing chains ITERS dependent iterations inside one jitted scan and does a
 single host readback, so the number is robust to dispatch/transfer latency
 (relevant on tunneled TPU runtimes).
 
+Also measures the TRAINING path (the workload that actually costs hours):
+the exact jitted stage-1 train step at true recipe shapes (128 views
+@224², coco_stage1.yaml via tools/rehearse_recipes.py) — reported as
+train_ms_step / train_views_s / train_mfu extra keys.
+TRAIN_FLOPS_PER_VIEW comes from XLA CPU cost analysis of that compiled
+train step (5.2705e12 flops / 128 views; the TPU executable's own
+cost_analysis() under-reports convs and is not used).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
@@ -49,6 +57,8 @@ import numpy as np
 REFERENCE_IMG_S = 30.0  # derived above + docs/DESIGN.md; PyTorch ref, V100
 ITERS = 10
 FLOPS_PER_IMG = 172.8e9  # XLA CPU cost analysis of this pipeline, bf16
+TRAIN_FLOPS_PER_VIEW = 41.18e9  # XLA CPU cost analysis, stage-1 train step
+TRAIN_STEPS = 40
 
 # bf16 matmul peak FLOP/s by device kind prefix (public specs).
 PEAK_FLOPS = {
@@ -119,6 +129,23 @@ def main():
     peak = _peak_for(jax.devices()[0])
     if peak:
         result['mfu'] = round(achieved / peak, 3)
+
+    # Training-path metric (stage-1 at true shapes). Failure here must
+    # not lose the primary inference metric.
+    try:
+        del compiled, variables, images
+        import sys as _sys, os as _os
+        _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        from tools.rehearse_recipes import run as rehearse_run
+        tr = rehearse_run('stage1', steps=TRAIN_STEPS, emit=False)
+        result['train_ms_step'] = tr['ms_per_step']
+        result['train_views_s'] = tr['views_per_s']
+        if peak:
+            result['train_mfu'] = round(
+                tr['views_per_s'] * TRAIN_FLOPS_PER_VIEW / peak, 3)
+    except Exception as e:
+        result['train_error'] = f'{type(e).__name__}: {e}'[:200]
+
     print(json.dumps(result))
 
 

@@ -169,7 +169,11 @@ def warp_view(image, label, true_h, true_w, flip, ratio, u_y, u_x,
     `flip` mirrors the SOURCE x axis. All of (true_h, true_w, flip,
     ratio, u_y, u_x) are traced per-view data; shapes are static.
     image: `[S, S, 3]` float in [0, 1]; label: `[S, S]` int.
-    Returns (`[crop, crop, 3]`, `[crop, crop]`).
+    Returns (`[crop, crop, 3]`, `[crop, crop]`, inside `[crop, crop]`
+    bool) — `inside` is True where the output samples real source
+    content and False in the pad region; callers use it to build the
+    ignore mask (the reference pads the semantic channel with 255 so
+    pad pixels never enter clustering/losses, base_dataset.py:135-155).
     """
     H = true_h.astype(jnp.float32)
     W = true_w.astype(jnp.float32)
@@ -226,7 +230,7 @@ def warp_view(image, label, true_h, true_w, flip, ratio, u_y, u_x,
     lab_rows = ny_mat @ label.astype(f32)                  # [c, Sw]
     lab = jnp.round(lab_rows @ nx_mat.T).astype(label.dtype)
     lab = jnp.where(inside, lab, label_pad)
-    return out, lab
+    return out, lab, inside
 
 
 def random_geometric_views(images, labels, true_hw, rng, crop,
@@ -239,6 +243,12 @@ def random_geometric_views(images, labels, true_hw, rng, crop,
     images: uint8 or float; uint8 is converted to [0, 1] float ON DEVICE
     (so the host->device transfer is 4x smaller). labels `[B, S, S]` int
     (superpixel/instance maps). true_hw `[B, 2]` actual source sizes.
+    `mirror_p` is the per-view flip probability (0.0 disables mirroring,
+    honoring config.train.random_mirror=False).
+
+    Returns (images `[B*V, crop, crop, 3]`, labels `[B*V, crop, crop]`,
+    inside `[B*V, crop, crop]` bool) — `inside` marks real content vs
+    crop padding; downstream builds the semantic ignore mask from it.
     """
     b = images.shape[0]
     if images.dtype == jnp.uint8:
@@ -248,7 +258,7 @@ def random_geometric_views(images, labels, true_hw, rng, crop,
     def one_image(img, lab, hw, img_keys):
         def one_view(key):
             k_f, k_r, k_y, k_x = jax.random.split(key, 4)
-            flip = jax.random.uniform(k_f) >= 0.5
+            flip = jax.random.uniform(k_f) < mirror_p
             ratio = jax.random.uniform(k_r, minval=scale_min,
                                        maxval=scale_max)
             u_y = jax.random.uniform(k_y)
@@ -257,8 +267,9 @@ def random_geometric_views(images, labels, true_hw, rng, crop,
                              u_x, crop, image_pad, label_pad)
         return jax.vmap(one_view)(img_keys)                # [V, crop, ...]
 
-    view_imgs, view_labs = jax.vmap(one_image)(images, labels, true_hw,
-                                               keys)
+    view_imgs, view_labs, view_inside = jax.vmap(one_image)(
+        images, labels, true_hw, keys)
     v = num_views
     return (view_imgs.reshape(b * v, crop, crop, 3),
-            view_labs.reshape(b * v, crop, crop))
+            view_labs.reshape(b * v, crop, crop),
+            view_inside.reshape(b * v, crop, crop))

@@ -32,8 +32,15 @@ def create_train_state(embedding_model, rng, sample_batch,
                        momentum=0.9, weight_decay=1e-4,
                        optimizer: str = 'sgd'):
     """Initializes params/batch-stats and the optimizer ('sgd' or 'adam',
-    both with the reference's per-group LR-multiplier semantics)."""
-    variables = embedding_model.init(
+    both with the reference's per-group LR-multiplier semantics).
+
+    init is jitted: eager (op-by-op) execution of the full
+    forward+clustering graph is pathologically slow on high-dispatch-
+    latency runtimes (measured 380 s vs ~40 s jitted through a tunneled
+    TPU) and wasteful everywhere else.
+    """
+    variables = jax.jit(
+        embedding_model.init, static_argnames=('train',))(
         {'params': rng, 'dropout': rng},
         sample_batch['image'], sample_batch.get('semantic_label'),
         sample_batch.get('instance_label'), train=False)
@@ -97,15 +104,25 @@ def make_train_step(embedding_model, prediction_model, schedule,
                     dropout_rng, 3)
                 # Labels stream as uint16 (host bytes); widen on device
                 # before label arithmetic (inst * label_divisor).
-                images, inst = device_aug.random_geometric_views(
+                # label_pad=0 (not 255): pad pixels are invalidated via
+                # the semantic ignore channel below, and 255 would
+                # collide with a real superpixel id when
+                # max_segments > 255 (PMI 1024-segment mode).
+                images, inst, inside = device_aug.random_geometric_views(
                     batch['image_raw'],
                     batch['instance_raw'].astype(jnp.int32),
                     batch['true_hw'], geo_rng, geo['crop'],
                     num_views=geo.get('num_views', 2),
                     scale_min=geo.get('scale_min', 0.5),
                     scale_max=geo.get('scale_max', 1.5),
-                    image_pad=mean)
-                sem = jnp.zeros_like(inst)
+                    mirror_p=geo.get('mirror_p', 0.5),
+                    image_pad=mean, label_pad=0)
+                # The reference pads the semantic channel with 255 so
+                # crop padding never enters clustering or the selfsup
+                # losses (base_dataset.py:135-155); mark pad pixels
+                # with the ignore index here.
+                ignore = geo.get('ignore_index', 255)
+                sem = jnp.where(inside, 0, ignore).astype(jnp.int32)
             else:
                 images = batch['image']
                 aug_rng, dropout_rng = jax.random.split(dropout_rng)

@@ -27,6 +27,17 @@ def _write_image_panels(writer, embedding_model, state, batch, config, it):
     try:
         import jax
         from hsg_tpu.utils import vis
+        # Jit (and cache across calls — shapes are fixed) the two panel
+        # forwards: eager apply is minutes-slow on high-dispatch-latency
+        # TPU runtimes.
+        cache = _write_image_panels.__dict__
+        if 'embed_fn' not in cache:
+            cache['embed_fn'] = jax.jit(
+                lambda v, im: embedding_model.apply(
+                    v, im, method=lambda m, im: m.generate_embeddings(im)))
+            cache['full_fn'] = jax.jit(
+                lambda v, im, s, i: embedding_model.apply(
+                    v, im, s, i, train=False))
         variables = {'params': jax.device_get(state.params),
                      'batch_stats': jax.device_get(state.batch_stats)}
         if 'image' not in batch:
@@ -46,9 +57,7 @@ def _write_image_panels(writer, embedding_model, state, batch, config, it):
             if config.train.get('device_photometric', False):
                 img = ((img - np.asarray(config.network.pixel_means))
                        / np.asarray(config.network.pixel_stds))
-        out = embedding_model.apply(
-            variables, img,
-            method=lambda m, im: m.generate_embeddings(im))
+        out = cache['embed_fn'](variables, img)
         emb = np.asarray(out['embedding'])
         rgb = vis.embedding_to_rgb(emb)           # [2, h, w, 3]
         color_map = vis.load_color_map(
@@ -66,9 +75,8 @@ def _write_image_panels(writer, embedding_model, state, batch, config, it):
         # fine/coarse group maps from the clustering transformers.
         sem_in = np.asarray(batch['semantic_label'][:2])
         inst_in = np.asarray(batch['instance_label'][:2])
-        full = embedding_model.apply(
-            variables, np.asarray(img, np.float32),
-            sem_in, inst_in, train=False)
+        full = cache['full_fn'](variables, np.asarray(img, np.float32),
+                                sem_in, inst_in)
         h, w = full['embedding'].shape[1:3]
         for key, name in (('finehrchy_cluster_index', 'fine_hierarchy'),
                           ('coarsehrchy_cluster_index',
@@ -273,11 +281,15 @@ def main():
     # Warm start / resume (train.py:113-131; the reference's resume path is
     # bit-rotted — fixed here).
     curr_iter = config.train.begin_iteration
+    resume_step = None
     if config.train.resume:
         # begin_iteration 0 + resume -> pick the newest snapshot (simple
-        # preemption recovery; the reference has no equivalent).
-        if not curr_iter:
-            curr_iter = ckpt_lib.latest_step(args.snapshot_dir) or 0
+        # preemption recovery; the reference has no equivalent). A fresh
+        # snapshot dir has nothing to resume — fall through to
+        # pretrained/scratch so `resume: true` is safe from step 0.
+        resume_step = curr_iter or ckpt_lib.latest_step(args.snapshot_dir)
+    if resume_step:
+        curr_iter = resume_step
         print(f'Resume training from iteration {curr_iter}')
         state = ckpt_lib.restore_checkpoint(args.snapshot_dir, curr_iter,
                                             template=state)
@@ -316,11 +328,22 @@ def main():
         if not config.train.get('random_grayscale', True):
             device_photometric.update(jitter_p=0.0, grayscale_p=0.0)
         if raw_mode:
+            ch, cw = config.train.crop_size
+            if ch != cw:
+                raise ValueError(
+                    f'raw-staged pipelines ({pipeline}) warp to a square '
+                    f'crop; got crop_size={ch}x{cw} — use the tf/python '
+                    'pipeline for rectangular crops')
+            no_scale = not config.train.random_scale
             device_photometric['geometric'] = {
-                'crop': int(config.train.crop_size[0]),
+                'crop': int(ch),
                 'num_views': num_views,
-                'scale_min': 0.5 if config.train.random_scale else 1.0,
-                'scale_max': 1.5 if config.train.random_scale else 1.0,
+                'scale_min': (1.0 if no_scale
+                              else float(config.train.get('scale_min', 0.5))),
+                'scale_max': (1.0 if no_scale
+                              else float(config.train.get('scale_max', 1.5))),
+                'mirror_p': 0.5 if config.train.random_mirror else 0.0,
+                'ignore_index': int(config.dataset.semantic_ignore_index),
             }
     base_step = ts_lib.make_train_step(
         embedding_model, prediction_model, schedule, update_fn,
@@ -329,31 +352,20 @@ def main():
         device_photometric=device_photometric)
 
     mesh = mesh_lib.create_mesh()
+    donate = (0, 3) if bank_size > 0 else (0,)
     if resident:
-        if bank_size > 0:
-            raise NotImplementedError(
-                'device_resident + memory_bank_size > 0 not supported')
+        from hsg_tpu.train import resident as res_lib
         n_total = resident_data['image_raw'].shape[0]
-
-        def resident_step(state, data, rng):
-            rng_sel, rng_step = jax.random.split(rng)
-            idx = jax.random.randint(rng_sel, (local_images,), 0, n_total)
-            sel = {
-                'image_raw': data['image_raw'][idx],
-                'instance_raw': data['instance_raw'][idx].astype(jnp.int32),
-                'true_hw': data['true_hw'][idx],
-                'image_index': idx.astype(jnp.int32),
-            }
-            sel = jax.lax.with_sharding_constraint(
-                sel, mesh_lib.batch_sharding(mesh))
-            return base_step(state, sel, rng_step)
-
-        step_fn = jax.jit(resident_step, donate_argnums=(0,))
+        # Epoch-shuffled on-device sampling (hsg_tpu/train/resident.py):
+        # same coverage semantics as the host loaders' shuffled epochs.
+        step_fn = jax.jit(
+            res_lib.make_resident_step(base_step, n_total, local_images,
+                                       mesh),
+            donate_argnums=donate)
         resident_data = jax.device_put(
             resident_data, mesh_lib.replicated(mesh))
     else:
-        step_fn = jax.jit(base_step,
-                          donate_argnums=(0, 3) if bank_size > 0 else (0,))
+        step_fn = jax.jit(base_step, donate_argnums=donate)
     state = mesh_lib.replicate(state, mesh)
     bank = None
     if bank_size > 0:
@@ -380,16 +392,16 @@ def main():
     if args.max_steps is not None:
         max_iter = min(max_iter, curr_iter + args.max_steps)
 
-    # Note: the reference's rolling prototype memory bank
-    # (train.py:328-345) runs with memory_bank_size=0 in every shipped
-    # recipe; the consumer side (Segsort.losses memory_* targets) is
-    # implemented, trainer-side accumulation lands when a recipe uses it.
     rng = jax.random.PRNGKey(1235)
     t0 = time.time()
     for it in range(curr_iter, max_iter):
         rng, step_rng = jax.random.split(rng)
         if resident:
-            state, metrics = step_fn(state, resident_data, step_rng)
+            if bank is not None:
+                state, metrics, bank = step_fn(state, resident_data,
+                                               step_rng, bank)
+            else:
+                state, metrics = step_fn(state, resident_data, step_rng)
         else:
             sharded = mesh_lib.shard_batch(batch, mesh)
             if bank is not None:

@@ -18,6 +18,8 @@ from hsg_tpu.models import import_torch
 from hsg_tpu.models.resnet import ResNetBackbone
 from test_checkpoint_import import _fake_torch_state_dict
 
+pytestmark = pytest.mark.slow
+
 
 class _TorchBottleneck(torch.nn.Module):
     def __init__(self, cin, planes, stride=1, dilation=1, project=False):

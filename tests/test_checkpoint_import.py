@@ -114,6 +114,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
 
 
+@pytest.mark.slow
 def test_partial_overlay_cross_model():
     """FCN snapshot -> HSG model: shared subtrees load, heads stay init."""
     import warnings

@@ -15,6 +15,8 @@ from hsg_tpu.train import optimizer as opt_lib
 from hsg_tpu.train import train_step as ts_lib
 from test_train_step import _cfg, _model, _batch
 
+pytestmark = pytest.mark.slow
+
 
 def test_train_step_with_chunked_nca(monkeypatch):
     # B=8 views x S=8 segments = 64 global prototypes; force chunking.

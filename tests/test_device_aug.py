@@ -2,6 +2,7 @@
 HSV correctness, distributions, and train-step integration."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -54,6 +55,7 @@ def test_random_photometric_distribution():
     assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 1
 
 
+@pytest.mark.slow
 def test_train_step_device_photometric_matches_host_normalization():
     """With jitter and grayscale off, the on-device stage reduces to
     normalization — the step must produce the identical loss as the host-
@@ -136,7 +138,7 @@ def test_warp_view_matches_host_chain():
                                   (False, 1.3, 0.5, 0.2),
                                   (True, 0.55, 0.0, 0.9),
                                   (False, 0.5, 0.8, 0.1)]:
-        got_img, got_lab = device_aug.warp_view(
+        got_img, got_lab, got_inside = device_aug.warp_view(
             jnp.asarray(canvas), jnp.asarray(lab_canvas),
             jnp.int32(H), jnp.int32(W), jnp.asarray(flip),
             jnp.float32(ratio), jnp.float32(u_y), jnp.float32(u_x),
@@ -152,6 +154,10 @@ def test_warp_view_matches_host_chain():
         # exactness.
         mismatch = np.mean(np.asarray(got_lab) != want_lab)
         assert mismatch < 0.06, (flip, ratio, u_y, u_x, mismatch)
+        # inside mask == host pad region (label_pad never collides with
+        # source labels in this fixture, so 255 marks padding exactly).
+        np.testing.assert_array_equal(np.asarray(got_inside),
+                                      want_lab != 255)
 
 
 def test_random_geometric_views_shapes_and_padding():
@@ -160,14 +166,17 @@ def test_random_geometric_views_shapes_and_padding():
     imgs = (rng.uniform(0, 255, (b, S, S, 3))).astype(np.uint8)
     labs = rng.integers(0, 9, (b, S, S)).astype(np.int32)
     hw = np.asarray([[64, 64], [40, 50], [64, 30]], np.int32)
-    out_i, out_l = device_aug.random_geometric_views(
+    out_i, out_l, out_in = device_aug.random_geometric_views(
         jnp.asarray(imgs), jnp.asarray(labs), jnp.asarray(hw),
         jax.random.PRNGKey(0), crop, num_views=v,
         image_pad=(0.25, 0.5, 0.75))
     assert out_i.shape == (b * v, crop, crop, 3)
     assert out_l.shape == (b * v, crop, crop)
+    assert out_in.shape == (b * v, crop, crop)
     out_i = np.asarray(out_i)
     out_l = np.asarray(out_l)
+    # label pad sentinel and inside mask agree (labels here are < 9).
+    np.testing.assert_array_equal(np.asarray(out_in), out_l != 255)
     assert out_i.min() >= 0.0 and out_i.max() <= 1.0
     # Wherever the label is padding (255), the image must be the pad color.
     pad_mask = out_l == 255
@@ -180,6 +189,109 @@ def test_random_geometric_views_shapes_and_padding():
     assert np.abs(out_i[0] - out_i[1]).max() > 1e-3
 
 
+def test_mirror_p_honored():
+    """mirror_p=0 must never flip; mirror_p=1 must always flip (ADVICE
+    round-2: flip was hardcoded to p=0.5 regardless of the argument)."""
+    rng = np.random.default_rng(3)
+    b, S = 2, 16
+    imgs = rng.integers(0, 255, (b, S, S, 3)).astype(np.uint8)
+    labs = rng.integers(0, 9, (b, S, S)).astype(np.int32)
+    hw = np.full((b, 2), S, np.int32)
+    common = dict(crop=S, num_views=2, scale_min=1.0, scale_max=1.0)
+    no_flip, no_flip_l, _ = device_aug.random_geometric_views(
+        jnp.asarray(imgs), jnp.asarray(labs), jnp.asarray(hw),
+        jax.random.PRNGKey(0), mirror_p=0.0, **common)
+    all_flip, all_flip_l, _ = device_aug.random_geometric_views(
+        jnp.asarray(imgs), jnp.asarray(labs), jnp.asarray(hw),
+        jax.random.PRNGKey(0), mirror_p=1.0, **common)
+    src = imgs.astype(np.float32) / 255.0
+    for v in range(2):
+        for i in range(b):
+            np.testing.assert_allclose(np.asarray(no_flip[i * 2 + v]),
+                                       src[i], atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(no_flip_l[i * 2 + v]),
+                                          labs[i])
+            np.testing.assert_allclose(np.asarray(all_flip[i * 2 + v]),
+                                       src[i, :, ::-1], atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(all_flip_l[i * 2 + v]),
+                                          labs[i, :, ::-1])
+
+
+@pytest.mark.slow
+def test_raw_pad_pixels_ignored_matches_host():
+    """ADVICE round-2 medium: crop padding must carry the semantic ignore
+    index into the step, exactly as the reference's host pipeline pads
+    labels with 255. With deterministic geometry (scale=1, no mirror,
+    jitter off) the raw-staged step must equal a host batch built with
+    sem=255 in the pad region."""
+    from test_train_step import _cfg, _model
+    from hsg_tpu.models import predictions as pred_lib
+    from hsg_tpu.train import optimizer as opt_lib
+    from hsg_tpu.train import train_step as ts_lib
+
+    cfg = _cfg()
+    model = _model(cfg)
+    prediction = pred_lib.hsg(cfg)
+    rng = np.random.default_rng(11)
+    n_img, S, crop, v = 2, 32, 32, 2
+    mean, std = (0.4, 0.45, 0.5), (0.2, 0.25, 0.3)
+
+    canvases = rng.integers(0, 255, (n_img, S, S, 3)).astype(np.uint8)
+    labels = rng.integers(0, 6, (n_img, S, S)).astype(np.int32)
+    true_hw = np.asarray([[20, 24], [32, 18]], np.int32)
+
+    raw_batch = {
+        'image_raw': jnp.asarray(canvases),
+        'instance_raw': jnp.asarray(labels),
+        'true_hw': jnp.asarray(true_hw),
+        'image_index': jnp.arange(n_img, dtype=jnp.int32),
+    }
+    # Equivalent host batch: each image replicated over its 2 (identical,
+    # deterministic-geometry) views; pad region gets sem=255 / inst=0 and
+    # normalized-zero pixels (image pad = mean).
+    imgs, sems, insts = [], [], []
+    for i in range(n_img):
+        h, w = true_hw[i]
+        img = np.zeros((crop, crop, 3), np.float32)
+        img[:h, :w] = canvases[i, :h, :w].astype(np.float32) / 255.0
+        img[:h, :w] = (img[:h, :w] - mean) / std
+        sem = np.full((crop, crop), 255, np.int32)
+        sem[:h, :w] = 0
+        inst = np.zeros((crop, crop), np.int32)
+        inst[:h, :w] = labels[i, :h, :w]
+        for _ in range(v):
+            imgs.append(img)
+            sems.append(sem)
+            insts.append(inst)
+    host_batch = {
+        'image': jnp.asarray(np.stack(imgs)),
+        'semantic_label': jnp.asarray(np.stack(sems)),
+        'instance_label': jnp.asarray(np.stack(insts)),
+        'image_index': jnp.asarray(np.arange(n_img * v) // v, jnp.int32),
+    }
+
+    state, update_fn = ts_lib.create_train_state(
+        model, jax.random.PRNGKey(0), host_batch)
+    schedule = opt_lib.schedule_from_config(cfg)
+    host_step = jax.jit(ts_lib.make_train_step(
+        model, prediction, schedule, update_fn))
+    raw_step = jax.jit(ts_lib.make_train_step(
+        model, prediction, schedule, update_fn,
+        device_photometric={
+            'mean': mean, 'std': std, 'jitter_p': 0.0, 'grayscale_p': 0.0,
+            'geometric': {'crop': crop, 'num_views': v,
+                          'scale_min': 1.0, 'scale_max': 1.0,
+                          'mirror_p': 0.0},
+        }))
+    _, m_host = host_step(state, host_batch, jax.random.PRNGKey(1))
+    _, m_raw = raw_step(state, raw_batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m_raw['loss']), float(m_host['loss']),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m_raw['img_sim_loss']),
+                               float(m_host['img_sim_loss']), rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_train_step_raw_geometric_mode():
     """Full raw-staged path: the step consumes uint8 canvases + true
     sizes, produces views on device, and trains to a finite loss."""

@@ -271,6 +271,7 @@ def test_transformer_clustering_import_forward_equivalence():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_full_embedding_model_checkpoint_roundtrip(tmp_path):
     """Save a reference-layout snapshot {'embedding_model': sd} covering
     backbone + conv_out + pos_embed + queries + both transformers, load it

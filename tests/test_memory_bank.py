@@ -7,6 +7,7 @@ predictions/segsort.py:41-47 + models/utils.py:243-309).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -158,6 +159,7 @@ def test_feat_aff_loss_matches_numpy_oracle():
 # Train step with the bank threaded through
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_train_step_with_memory_bank_rolls_and_learns():
     cfg = _cfg()
     model = _model(cfg)

@@ -11,6 +11,9 @@ import jax.numpy as jnp
 
 from hsg_tpu.losses import segsort as segsort_loss
 from hsg_tpu.ops import common, kmeans
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _oracle_embeddings(gt, num_classes, dim=16, noise=0.05, seed=0):

@@ -54,6 +54,7 @@ def _asa(gt_labels, sp_labels):
     return float(hist.max(axis=1).sum()) / gt_labels.size
 
 
+@pytest.mark.slow
 def test_superpixel_quality_benchmark():
     """Quality floor for the Python OWT-UCM stand-in (VERDICT.md round-1
     item: quantify superpixel quality). Measures boundary recall and ASA

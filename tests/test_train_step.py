@@ -87,6 +87,7 @@ def setup():
     return cfg, model, prediction, batch, state, step_fn
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_all_losses_active(setup):
     cfg, model, prediction, batch, state, step_fn = setup
     new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
@@ -103,6 +104,7 @@ def test_train_step_runs_and_all_losses_active(setup):
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
+@pytest.mark.slow
 def test_sharded_equals_unsharded(setup):
     """The SyncBN/prototype-sync equivalence test: identical results
     whether the batch lives on 1 device or is sharded over 8."""
@@ -127,6 +129,7 @@ def test_sharded_equals_unsharded(setup):
                                float(m8['img_sim_loss']), rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_loss_decreases_over_steps(setup):
     cfg, model, prediction, batch, state, step_fn = setup
     jit_step = step_fn

@@ -41,8 +41,12 @@ STAGES = {
     'stage1p': ('configs/coco_stage1.yaml', 128, 224, 128),
     'stage2': ('configs/coco_stage2.yaml', 48, 448, None),
     # Cityscapes 1-stage recipe (bashscripts/cityscapes/train.sh:20-32):
-    # global batch 32 @448², hsg_cs variant, all 5 losses.
+    # hsg_cs variant, all 5 losses. The reference's global batch is
+    # 8 GPUs x 4 images x 2 views = 64 view rows @448²
+    # ('cityscapes_full'); 'cityscapes' keeps the round-2 32-row point
+    # for comparability.
     'cityscapes': ('configs/cityscapes.yaml', 32, 448, None),
+    'cityscapes_full': ('configs/cityscapes.yaml', 64, 448, None),
 }
 
 
@@ -62,7 +66,7 @@ def synthetic_batch(rows, hw, num_views, seed=0):
     }
 
 
-def run(stage, steps, profile_dir=None):
+def run(stage, steps, profile_dir=None, emit=True):
     import jax
     import jax.numpy as jnp
     from hsg_tpu.config import default_config, update_config
@@ -154,7 +158,8 @@ def run(stage, steps, profile_dir=None):
         **mem,
     }
     assert np.isfinite(loss), out
-    print(json.dumps(out), flush=True)
+    if emit:
+        print(json.dumps(out), flush=True)
     return out
 
 
