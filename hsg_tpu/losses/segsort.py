@@ -182,11 +182,18 @@ class SegSortLoss:
         if impl == 'auto':
             # Large prototype sets must never materialize [N, G]
             # similarities (stage-1 scale ~6.6 GB); route to a tiled impl.
-            if self.chunk or (prototypes.shape[0]
-                              > self.AUTO_CHUNK_THRESHOLD):
-                import jax
-                impl = ('pallas' if jax.default_backend() == 'tpu'
-                        else 'chunked')
+            # AT the threshold (stage-1's / the Cityscapes recipe's exact
+            # 8,192 prototype slots) the fused Pallas kernel is also the
+            # right call on TPU: the dense route's [25088, 8192] f32
+            # similarities + two bf16 transposed copies cost ~10 ms/step
+            # and ~1.6 GB (measured round 3: 70 vs ~80 ms device time).
+            import jax
+            on_tpu = jax.default_backend() == 'tpu'
+            n_protos = prototypes.shape[0]
+            if self.chunk or n_protos > self.AUTO_CHUNK_THRESHOLD:
+                impl = 'pallas' if on_tpu else 'chunked'
+            elif on_tpu and n_protos >= self.AUTO_CHUNK_THRESHOLD:
+                impl = 'pallas'
             else:
                 impl = 'dense'
         if impl == 'pallas':

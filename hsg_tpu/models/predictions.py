@@ -64,8 +64,14 @@ class Hsg:
         # MXU dtype for the Pallas NCA route (train.nca_compute_dtype;
         # 'bfloat16' = ~2x kernel throughput, <1e-2 nll error).
         nca = t.get('nca_compute_dtype', 'float32')
+        # train.nca_impl overrides the pixel-level NCA route ('auto' |
+        # 'dense' | 'chunked' | 'pallas'): at exactly-threshold scales
+        # (stage-1's 8,192 prototypes) the dense route materializes a
+        # [25088, 8192] f32 similarity matrix (~820 MB + two bf16
+        # transposed copies) that the fused Pallas kernel avoids.
+        impl = t.get('nca_impl', 'auto')
         self.img_sim = (segsort_loss.SegSortLoss(t.img_sim_concentration,
-                                                 nca_dtype=nca)
+                                                 nca_dtype=nca, impl=impl)
                         if t.img_sim_loss_types == 'segsort' else None)
         self.img_sim_weight = t.img_sim_loss_weight
         self.fine_hrchy = (segsort_loss.SegSortLoss(t.fine_hrchy_concentration,

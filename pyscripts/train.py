@@ -244,9 +244,14 @@ def main():
             insts.append(np.asarray(s['instance_raw'], np.uint16))
             hws.append(np.asarray(s['true_hw'], np.int32))
             staged += s['image_raw'].shape[0]
+        inst_all = np.concatenate(insts)[:n_total]
+        if inst_all.max() < 256:
+            # Label ids fit a byte: halve the staged label HBM footprint
+            # (the step widens to int32 on read either way).
+            inst_all = inst_all.astype(np.uint8)
         resident_data = {
             'image_raw': np.concatenate(imgs)[:n_total],
-            'instance_raw': np.concatenate(insts)[:n_total],
+            'instance_raw': inst_all,
             'true_hw': np.concatenate(hws)[:n_total],
         }
         print(f'device-resident dataset: {n_total} images, '

@@ -82,6 +82,8 @@ def run(stage, steps, profile_dir=None, emit=True):
         config.network.max_segments_per_view = seg_override
     if os.environ.get('HSG_NCA_DTYPE'):
         config.train.nca_compute_dtype = os.environ['HSG_NCA_DTYPE']
+    if os.environ.get('HSG_NCA_IMPL'):
+        config.train.nca_impl = os.environ['HSG_NCA_IMPL']
     # remat OFF by default: stage-2 at batch 48 @448² fits 16 GB HBM
     # without it, and the backward runs 20% faster (134.5 vs 167.5
     # ms/step measured). HSG_REMAT=1 re-enables for bigger batches.
@@ -101,10 +103,30 @@ def run(stage, steps, profile_dir=None, emit=True):
         momentum=config.train.momentum,
         weight_decay=config.train.weight_decay)
     schedule = opt_lib.schedule_from_config(config)
-    step_fn = jax.jit(
-        ts_lib.make_train_step(embedding_model, prediction_model, schedule,
-                               update_fn),
-        donate_argnums=(0,))
+    base_step = ts_lib.make_train_step(embedding_model, prediction_model,
+                                       schedule, update_fn)
+    if os.environ.get('HSG_CHAINED'):
+        # Chain CHAIN steps inside one jitted scan -> ONE dispatch for
+        # the whole block. On tunneled runtimes the per-step host
+        # dispatch RTT (~20-30 ms here) otherwise contaminates the
+        # measurement; production dispatch is negligible either way.
+        chain = int(os.environ.get('HSG_CHAINED'))
+
+        def chained(state, batch, rng):
+            def body(carry, i):
+                st, r = carry
+                r, sub = jax.random.split(r)
+                st, metrics = base_step(st, batch, sub)
+                return (st, r), metrics['loss']
+            (state, _), losses = jax.lax.scan(
+                body, (state, rng), jnp.arange(chain))
+            return state, {'loss': losses[-1]}
+
+        step_fn = jax.jit(chained, donate_argnums=(0,))
+        steps = max(1, steps // chain)
+    else:
+        chain = 1
+        step_fn = jax.jit(base_step, donate_argnums=(0,))
 
     mesh = mesh_lib.create_mesh()
     state = mesh_lib.replicate(state, mesh)
@@ -137,7 +159,7 @@ def run(stage, steps, profile_dir=None, emit=True):
             jax.profiler.stop_trace()
         state, metrics = compiled(state, sharded, sub)
     loss = float(metrics['loss'])          # final readback syncs the stream
-    dt = (time.perf_counter() - t0) / n_timed
+    dt = (time.perf_counter() - t0) / n_timed / chain
 
     mem = {}
     try:
@@ -146,13 +168,27 @@ def run(stage, steps, profile_dir=None, emit=True):
                                    2)
     except Exception:
         pass
+    try:
+        ma = compiled.memory_analysis()
+        for field in ('argument_size_in_bytes', 'output_size_in_bytes',
+                      'temp_size_in_bytes', 'alias_size_in_bytes',
+                      'host_argument_size_in_bytes',
+                      'host_output_size_in_bytes',
+                      'host_temp_size_in_bytes',
+                      'host_alias_size_in_bytes'):
+            v = getattr(ma, field, None)
+            if v:
+                mem[field.replace('size_in_bytes', 'mb')] = round(v / 2**20)
+    except Exception:
+        pass
 
     out = {
         'stage': stage, 'rows': rows, 'hw': hw,
         'prototype_slots': protos,
         'ms_per_step': round(dt * 1e3, 1),
         'views_per_s': round(rows / dt, 1),
-        'steps': n_timed, 'final_loss': round(loss, 4),
+        'steps': n_timed * chain, 'chain': chain,
+        'final_loss': round(loss, 4),
         'pallas_in_hlo': uses_pallas,
         'compile_s': round(compile_s, 1),
         **mem,
