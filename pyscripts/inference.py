@@ -80,14 +80,38 @@ def main():
     n = len(dataset)
     if args.num_images:
         n = min(n, args.num_images)
+
+    # Host IO rides worker threads so decode (next image) and PNG
+    # encode/write (previous image) overlap device compute — the
+    # reference's loop serializes all three (inference.py:111-252).
+    import json
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=2)
+
+    def save_pred(pred, orig_w, orig_h, base):
+        pred = transforms._resize(pred, orig_w, orig_h, nearest=True)
+        Image.fromarray(pred, mode='L').save(
+            os.path.join(semantic_dir, base))
+        Image.fromarray(vis.convert_label_to_color(pred, color_map)).save(
+            os.path.join(semantic_rgb_dir, base))
+
+    timings = {'host_load_s': 0.0, 'device_s': 0.0, 'host_write_s': 0.0}
+    t_start = time.perf_counter()
+    write_futures = []
+    prefetch = pool.submit(dataset.__getitem__, 0) if n else None
     for idx in range(n):
-        inputs, labels, _ = dataset[idx]
+        t0 = time.perf_counter()
+        inputs, labels, _ = prefetch.result()
+        if idx + 1 < n:
+            prefetch = pool.submit(dataset.__getitem__, idx + 1)
         orig_h, orig_w = inputs['image'].shape[:2]
         base = os.path.basename(dataset.image_paths[idx])
         base = os.path.splitext(base)[0] + '.png'
 
         image_np, _, (rh, rw) = eval_common.preprocess_image(
             inputs['image'], None, None, config)
+        t1 = time.perf_counter()
         scales = [s for s in config.test.get('scales', (0,)) if s]
         use_flip = bool(config.test.get('flip', False))
         if scales and (scales != [1.0] or use_flip):
@@ -102,14 +126,27 @@ def main():
         pred = retrieve(out['cluster_embedding'][0], out['cluster_index'][0],
                         out['pixel_valid'][0], out['segment_valid'][0])
         pred = np.asarray(pred).reshape(h, w)[:rh, :rw].astype(np.uint8)
-        pred = transforms._resize(pred, orig_w, orig_h, nearest=True)
-
-        Image.fromarray(pred, mode='L').save(
-            os.path.join(semantic_dir, base))
-        Image.fromarray(vis.convert_label_to_color(pred, color_map)).save(
-            os.path.join(semantic_rgb_dir, base))
+        t2 = time.perf_counter()
+        write_futures.append(pool.submit(save_pred, pred, orig_w, orig_h,
+                                         base))
+        if len(write_futures) > 8:
+            write_futures.pop(0).result()
+        t3 = time.perf_counter()
+        timings['host_load_s'] += t1 - t0
+        timings['device_s'] += t2 - t1
+        timings['host_write_s'] += t3 - t2
         if (idx + 1) % 50 == 0 or idx == n - 1:
             print(f'[{idx + 1}/{n}] predictions saved', flush=True)
+    for f in write_futures:
+        f.result()
+    pool.shutdown()
+    wall = time.perf_counter() - t_start
+    if n:
+        print(json.dumps({
+            'images': n, 'wall_s': round(wall, 1),
+            'img_per_s': round(n / wall, 2),
+            **{k: round(v, 1) for k, v in timings.items()},
+        }), flush=True)
 
 
 if __name__ == '__main__':

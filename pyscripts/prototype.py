@@ -59,6 +59,8 @@ def main():
     n = len(dataset)
     if args.num_images:
         n = min(n, args.num_images)
+    import time
+    t_start = time.perf_counter()
     for idx in range(n):
         inputs, labels, _ = dataset[idx]
         base = os.path.basename(dataset.image_paths[idx])
@@ -105,6 +107,10 @@ def main():
             os.path.join(cluster_rgb_dir, base))
         if (idx + 1) % 50 == 0 or idx == n - 1:
             print(f'[{idx + 1}/{n}] prototypes saved', flush=True)
+    if n:
+        wall = time.perf_counter() - t_start
+        print(f'prototype: {n} images in {wall:.1f}s '
+              f'({n / wall:.2f} img/s)', flush=True)
 
 
 if __name__ == '__main__':
