@@ -397,10 +397,13 @@ def main():
     if args.max_steps is not None:
         max_iter = min(max_iter, curr_iter + args.max_steps)
 
+    # Per-step rng is a pure function of the iteration index so a
+    # resumed run draws the same augmentation/dropout randomness as an
+    # uninterrupted one (a sequential split chain would restart).
     rng = jax.random.PRNGKey(1235)
     t0 = time.time()
     for it in range(curr_iter, max_iter):
-        rng, step_rng = jax.random.split(rng)
+        step_rng = jax.random.fold_in(rng, it)
         if resident:
             if bank is not None:
                 state, metrics, bank = step_fn(state, resident_data,
