@@ -1,0 +1,49 @@
+#!/bin/bash
+# COCO 2-stage recipe on the synthetic dataset at the reference's true
+# per-step shapes (stage-1 256 view rows @224², stage-2 96 rows @448²)
+# with reduced iteration counts — see configs/coco_synthetic_stage*.yaml
+# headers. Reference: bashscripts/coco/train.sh:88-260.
+#
+# Usage:
+#   python tools/make_synthetic_dataset.py --root /tmp/syn_coco \
+#       --train 4000 --train_size 256,256 --val 500 --val_size 500,500 \
+#       --classes 21 --sp_grid 8,8 --seed 7
+#   DATAROOT=/tmp/syn_coco bash recipes/coco_synthetic.sh
+set -e
+
+DATAROOT=${DATAROOT:-/tmp/syn_coco}
+BASE=${BASE:-snapshots/coco_synthetic}
+
+for stage in stage1 stage2; do
+  mkdir -p ${BASE}/${stage}
+  cp configs/coco_synthetic_${stage}.yaml ${BASE}/${stage}/config.yaml
+  python pyscripts/train.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${DATAROOT}/train.txt \
+    --snapshot_dir ${BASE}/${stage} \
+    --cfg_path ${BASE}/${stage}/config.yaml
+done
+
+python pyscripts/prototype.py \
+  --data_dir ${DATAROOT} \
+  --data_list ${DATAROOT}/train.txt \
+  --snapshot_dir ${BASE}/stage2 \
+  --save_dir ${BASE}/stage2/results/train \
+  --kmeans_num_clusters 6,6 \
+  --label_divisor 2048 \
+  --cfg_path ${BASE}/stage2/config.yaml
+
+python pyscripts/inference.py \
+  --data_dir ${DATAROOT} \
+  --data_list ${DATAROOT}/val.txt \
+  --snapshot_dir ${BASE}/stage2 \
+  --save_dir ${BASE}/stage2/results/val \
+  --semantic_memory_dir ${BASE}/stage2/results/train/semantic_prototype \
+  --kmeans_num_clusters 6,6 \
+  --label_divisor 2048 \
+  --cfg_path ${BASE}/stage2/config.yaml
+
+python pyscripts/benchmark.py \
+  --pred_dir ${BASE}/stage2/results/val/semantic_gray \
+  --gt_dir ${DATAROOT}/val/segcls \
+  --num_classes 21
