@@ -95,6 +95,8 @@ def sweep_config(classes, steps):
 
 
 def main():
+    from pyscripts.common import _apply_platform_override
+    _apply_platform_override()   # HSG_TPU_PLATFORM=cpu for smokes
     ap = argparse.ArgumentParser()
     ap.add_argument('--root', default='/tmp/sp_sweep')
     ap.add_argument('--steps', type=int, default=3000)

@@ -68,6 +68,8 @@ def ab_config(classes, steps, variant):
 
 
 def main():
+    from pyscripts.common import _apply_platform_override
+    _apply_platform_override()   # HSG_TPU_PLATFORM=cpu for smokes
     ap = argparse.ArgumentParser()
     ap.add_argument('--root', default='/tmp/sp_sweep')
     ap.add_argument('--steps', type=int, default=6000)
