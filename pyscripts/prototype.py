@@ -60,9 +60,32 @@ def main():
     if args.num_images:
         n = min(n, args.num_images)
     import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Host IO rides worker threads so decode (next image) and the three
+    # per-image writes (npy bank + uint16 cluster PNG + colorized PNG —
+    # ~1 s of PNG encode at 1024x2048) overlap device compute.
+    pool = ThreadPoolExecutor(max_workers=2)
+
+    def save_outputs(base, protos_np, majority_np, num_segments,
+                     cluster_index):
+        memory_bank.save_memory_bank(
+            os.path.join(prototype_dir, base.replace('.png', '.npy')),
+            protos_np[:num_segments], majority_np[:num_segments])
+        Image.fromarray(cluster_index.astype(np.uint16)).save(
+            os.path.join(cluster_dir, base))
+        Image.fromarray(
+            vis.convert_label_to_color(cluster_index % 256,
+                                       color_map)).save(
+            os.path.join(cluster_rgb_dir, base))
+
+    write_futures = []
     t_start = time.perf_counter()
+    prefetch = pool.submit(dataset.__getitem__, 0) if n else None
     for idx in range(n):
-        inputs, labels, _ = dataset[idx]
+        inputs, labels, _ = prefetch.result()
+        if idx + 1 < n:
+            prefetch = pool.submit(dataset.__getitem__, idx + 1)
         base = os.path.basename(dataset.image_paths[idx])
         base = os.path.splitext(base)[0] + '.png'
 
@@ -93,20 +116,18 @@ def main():
             out['cluster_index'][0], s, 256,
             valid=out['pixel_valid'][0])
 
-        memory_bank.save_memory_bank(
-            os.path.join(prototype_dir, base.replace('.png', '.npy')),
-            np.asarray(protos)[:num_segments],
-            np.asarray(majority)[:num_segments])
-
         cluster_index = np.asarray(
             out['cluster_index'][0]).reshape(h, w)[:rh, :rw]
-        Image.fromarray(cluster_index.astype(np.uint16)).save(
-            os.path.join(cluster_dir, base))
-        Image.fromarray(
-            vis.convert_label_to_color(cluster_index % 256, color_map)).save(
-            os.path.join(cluster_rgb_dir, base))
+        write_futures.append(pool.submit(
+            save_outputs, base, np.asarray(protos), np.asarray(majority),
+            num_segments, cluster_index))
+        if len(write_futures) > 8:
+            write_futures.pop(0).result()
         if (idx + 1) % 50 == 0 or idx == n - 1:
             print(f'[{idx + 1}/{n}] prototypes saved', flush=True)
+    for f in write_futures:
+        f.result()
+    pool.shutdown()
     if n:
         wall = time.perf_counter() - t_start
         print(f'prototype: {n} images in {wall:.1f}s '
