@@ -135,6 +135,39 @@ def test_superpixels_bounded_and_aligned():
     assert overlap < 0.5
 
 
+@pytest.mark.slow
+def test_pmi_detector_quality():
+    """The PMI crisp-boundaries detector (generate_pmi_owt_ucm.m:39
+    parity, Isola et al. ECCV 2014) must match the local-gradient
+    detector on clean scenes and beat it where local gradients fail:
+    heavy intra-region texture whose gradients exceed the true boundary
+    contrast. PMI wins there because interior texture transitions are
+    statistically frequent (high PMI -> low boundary strength) while
+    cross-region transitions are surprising."""
+    rng = np.random.default_rng(7)
+    size = 96
+    clean_asa, tex_sob_br, tex_pmi_br = [], [], []
+    for _ in range(4):
+        img, gt = _synthetic_scene(rng, size=size)
+        sp = generate(img, max_segments=48, detector='pmi')
+        clean_asa.append(_asa(gt, sp))
+        yy, xx = np.mgrid[:size, :size]
+        tex = 0.3 * np.sign(np.sin(yy * 2.2 + gt * 1.7)
+                            * np.sin(xx * 2.5))[..., None]
+        imgt = np.clip(img + tex * np.array([1.0, 0.6, 0.8]),
+                       0, 1).astype(np.float32)
+        tex_sob_br.append(_boundary_recall(
+            gt, generate(imgt, 48, detector='sobel')))
+        tex_pmi_br.append(_boundary_recall(
+            gt, generate(imgt, 48, detector='pmi')))
+    print(f'\npmi: clean ASA={np.mean(clean_asa):.3f} | heavy texture '
+          f'BR sobel={np.mean(tex_sob_br):.3f} '
+          f'pmi={np.mean(tex_pmi_br):.3f}')
+    assert np.mean(clean_asa) > 0.95
+    # Regime where the unsupervised statistics matter: clear BR margin.
+    assert np.mean(tex_pmi_br) > np.mean(tex_sob_br) + 0.05
+
+
 def test_pmi_half_res_mode():
     rng = np.random.default_rng(3)
     img, gt = _synthetic_scene(rng, size=96)

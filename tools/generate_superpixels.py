@@ -9,26 +9,35 @@ The MATLAB originals need BSR/MCG binaries (Structured Edges / PMI crisp
 boundaries -> oriented watershed -> UCM -> threshold until <= N regions).
 This tool reproduces the same pipeline shape with stock numpy/cv2:
 
-  1. boundary strength: multi-scale Sobel gradient magnitude on the
-     Gaussian-smoothed Lab image (a stand-in for SE/PMI contours);
+  1. boundary strength, one of two detectors:
+     - `sobel`: multi-scale Sobel gradient magnitude on the
+       Gaussian-smoothed Lab image (fast local stand-in);
+     - `pmi`: Crisp Boundaries pointwise-mutual-information contours
+       (Isola et al., ECCV 2014) — the detector the reference's
+       generate_pmi_owt_ucm.m:39 runs (`findBoundaries`). PMI is
+       UNSUPERVISED: the color co-occurrence statistics it scores
+       boundaries against are learned from the test image itself, so
+       no trained model files are needed (pmi_boundary_strength);
   2. spectral globalization (the sPb step of gPb, Arbelaez et al. TPAMI
      2011 — what generate_se_owt_ucm.m:20-40 runs): intervening-contour
      affinities -> normalized-Laplacian eigenvectors -> gradients of the
      eigenvector images, combined back into the boundary map. Suppresses
-     texture/noise boundaries and reinforces globally consistent ones;
+     texture/noise boundaries and reinforces globally consistent ones
+     (the same spectral machinery the PMI paper applies to its affinity
+     matrix);
   3. watershed over the boundary map from low-gradient markers
      (oriented-watershed stand-in) -> an oversegmentation;
   4. UCM-style greedy region merging: repeatedly dissolve the pair of
      adjacent regions with the weakest shared boundary until the region
      count reaches `--max_segments`.
 
-Contour quality still differs from the paper's trained Structured-Edges /
-PMI detectors (steps 1's detector is unlearned); regenerate with the
-MATLAB tools for exact reproduction of the paper's superpixels.
+Remaining fidelity gap vs the paper's tools: the trained
+Structured-Edges model of generate_se_owt_ucm.m (BSDS-trained, not
+reproducible without its training data); the PMI path needs none.
 
 Usage:
   python tools/generate_superpixels.py --data_dir D --data_list in.txt \
-      --save_dir D/superpixels --max_segments 48 [--no_globalize]
+      --save_dir D/superpixels --max_segments 48 [--no_globalize] [--pmi]
 """
 
 from __future__ import annotations
@@ -58,6 +67,90 @@ def boundary_strength(image: np.ndarray) -> np.ndarray:
         mag = np.sqrt((gx ** 2 + gy ** 2).sum(axis=2))
         total += mag / mag.max().clip(1e-6)
     return total / len((1.0, 2.0, 4.0))
+
+
+def pmi_boundary_strength(image: np.ndarray, rho: float = 1.25,
+                          n_colors: int = 64, bandwidth: float = 1.5,
+                          seed: int = 0) -> np.ndarray:
+    """Crisp-boundaries PMI contour detector (Isola et al., ECCV 2014).
+
+    The step-1 detector of the reference's generate_pmi_owt_ucm.m
+    (`findBoundaries(I, type)` with the PMI affinity). Learned per-image
+    with no external training data:
+
+      1. quantize the lightly-smoothed Lab image into `n_colors` palette
+         entries (k-means over a pixel subsample);
+      2. estimate the joint distribution P(a, b) of palette entries over
+         nearby pixel pairs (distance-1 and distance-2 offsets, all
+         orientations, symmetrized), kernel-smoothed in Lab palette
+         space — a discrete-palette stand-in for the paper's
+         Epanechnikov KDE over sampled color pairs (bandwidth 1.5 Lab
+         units / 64 colors chosen by BR/ASA sweep over clean, noisy and
+         textured synthetic regimes — see tests/test_superpixels.py);
+      3. PMI_rho(a, b) = log P(a, b)^rho / (P(a) P(b))  (paper eq. 2,
+         rho = 1.25 as published);
+      4. boundary strength of a pixel = max over its 4 distance-1 edges
+         of -PMI(side colors), shifted/scaled to [0, 1]. Colors that
+         co-occur across nearby pixels more often than chance (interior
+         texture) score low; statistically surprising transitions (true
+         object boundaries) score high.
+    """
+    lab = cv2.cvtColor((image * 255).astype(np.uint8), cv2.COLOR_RGB2Lab)
+    lab = cv2.GaussianBlur(lab.astype(np.float32), (0, 0), 0.8)
+    h, w = lab.shape[:2]
+    px = lab.reshape(-1, 3)
+
+    # 1. Lab palette by k-means over a subsample.
+    rng = np.random.default_rng(seed)
+    n_sample = min(px.shape[0], 20000)
+    sample = px[rng.choice(px.shape[0], n_sample, replace=False)]
+    k = int(min(n_colors, np.unique(sample, axis=0).shape[0]))
+    cv2.setRNGSeed(seed)
+    criteria = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 25, 0.5)
+    _, _, centers = cv2.kmeans(sample.astype(np.float32), k, None,
+                               criteria, 3, cv2.KMEANS_PP_CENTERS)
+    # Assign every pixel to its nearest palette entry (chunked).
+    q = np.empty(px.shape[0], np.int32)
+    for lo in range(0, px.shape[0], 1 << 16):
+        chunk = px[lo: lo + (1 << 16)]
+        d2 = ((chunk[:, None, :] - centers[None]) ** 2).sum(-1)
+        q[lo: lo + (1 << 16)] = d2.argmin(1)
+    q = q.reshape(h, w)
+
+    # 2. Joint co-occurrence over nearby pairs.
+    counts = np.zeros((k, k), np.float64)
+    for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1), (0, 2), (2, 0)):
+        a = q[max(0, -dy): h - max(0, dy), max(0, -dx): w - max(0, dx)]
+        b = q[max(0, dy): h + min(0, dy), max(0, dx): w + min(0, dx)]
+        np.add.at(counts, (a.reshape(-1), b.reshape(-1)), 1.0)
+    counts = counts + counts.T
+    # Kernel smoothing in palette space (KDE stand-in): similar colors
+    # share statistical mass.
+    d2c = ((centers[:, None, :] - centers[None]) ** 2).sum(-1)
+    kern = np.exp(-d2c / (2.0 * bandwidth ** 2))
+    kern /= kern.sum(axis=1, keepdims=True)
+    counts = kern @ counts @ kern.T + 1e-3
+
+    # 3. PMI table.
+    pj = counts / counts.sum()
+    pm = pj.sum(axis=1)
+    pmi = rho * np.log(pj) - np.log(pm)[:, None] - np.log(pm)[None, :]
+
+    # 4. Per-pixel boundary strength from distance-1 edges.
+    strength = np.full((h, w), -np.inf, np.float32)
+    for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        a = q[max(0, -dy): h - max(0, dy), max(0, -dx): w - max(0, dx)]
+        b = q[max(0, dy): h + min(0, dy), max(0, dx): w + min(0, dx)]
+        e = (-pmi[a, b]).astype(np.float32)
+        ys = slice(max(0, -dy), h - max(0, dy))
+        xs = slice(max(0, -dx), w - max(0, dx))
+        strength[ys, xs] = np.maximum(strength[ys, xs], e)
+        ys2 = slice(max(0, dy), h + min(0, dy))
+        xs2 = slice(max(0, dx), w + min(0, dx))
+        strength[ys2, xs2] = np.maximum(strength[ys2, xs2], e)
+    lo = float(strength.min())
+    hi = float(np.percentile(strength, 98))
+    return np.clip((strength - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
 
 
 def spectral_globalization(strength: np.ndarray, n_vecs: int = 16,
@@ -145,10 +238,23 @@ def spectral_globalization(strength: np.ndarray, n_vecs: int = 16,
 
 
 def watershed_oversegment(image: np.ndarray, strength: np.ndarray,
-                          marker_quantile: float = 0.4) -> np.ndarray:
+                          marker_quantile: float = 0.4,
+                          min_markers: int = 0) -> np.ndarray:
     """Watershed from low-gradient markers -> labels `[H, W]` (>= 1)."""
     thresh = np.quantile(strength, marker_quantile)
     seeds = (strength <= thresh).astype(np.uint8)
+    if min_markers and cv2.connectedComponents(seeds)[0] - 1 < min_markers:
+        # Too few markers: the contour map is so clean that whole regions
+        # collapse into single markers, and then a 1-px boundary leak
+        # irreversibly merges two regions (UCM can only merge, never
+        # split). Grid-cut the marker mask to force an OVERsegmentation;
+        # the false cuts have near-zero boundary strength, so UCM
+        # dissolves them first. Applied only on demand — when the
+        # detector already oversegments (local gradients + noise), the
+        # extra fragments just add wrong-merge opportunities.
+        step = max(8, min(seeds.shape) // 12)
+        seeds[::step, :] = 0
+        seeds[:, ::step] = 0
     n, markers = cv2.connectedComponents(seeds)
     markers = markers.astype(np.int32)
     bgr = cv2.cvtColor((image * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
@@ -249,23 +355,29 @@ def ucm_merge(labels: np.ndarray, strength: np.ndarray,
 
 
 def generate(image: np.ndarray, max_segments: int = 48,
-             globalize: bool = True, half_res: bool = False) -> np.ndarray:
+             globalize: bool = True, half_res: bool = False,
+             detector: str = 'sobel') -> np.ndarray:
     """half_res reproduces the PMI tool's resolution scheme
     (generate_pmi_owt_ucm.m:1-80): segment at 0.5x, then 2x nearest
     upsample back — used with a larger budget (<=1024 segments) on
-    high-resolution frames like Cityscapes."""
+    high-resolution frames like Cityscapes. detector: 'sobel' (local
+    gradients) or 'pmi' (per-image-learned crisp boundaries)."""
     h0, w0 = image.shape[:2]
     if half_res:
         image = cv2.resize(image, (w0 // 2, h0 // 2),
                            interpolation=cv2.INTER_AREA)
-    strength = boundary_strength(image)
+    if detector == 'pmi':
+        strength = pmi_boundary_strength(image)
+    else:
+        strength = boundary_strength(image)
     if globalize:
         try:
             strength = 0.5 * (strength
                               + spectral_globalization(strength))
         except Exception:
             pass  # scipy missing or eigensolve failed: local-only map
-    over = watershed_oversegment(image, strength)
+    over = watershed_oversegment(image, strength,
+                                 min_markers=max_segments)
     labels = ucm_merge(over, strength, max_segments).astype(np.int32)
     if half_res:
         labels = cv2.resize(labels, (w0, h0),
@@ -283,11 +395,16 @@ def main():
     parser.add_argument('--no_globalize', action='store_true',
                         help='skip the sPb spectral globalization step')
     parser.add_argument('--pmi', action='store_true',
-                        help='PMI-tool resolution scheme: segment at '
-                             '0.5x, 2x nearest upsample (use with '
-                             '--max_segments 1024; '
-                             'generate_pmi_owt_ucm.m parity)')
+                        help='generate_pmi_owt_ucm.m parity: PMI crisp-'
+                             'boundaries detector + half-res scheme '
+                             '(segment at 0.5x, 2x nearest upsample; '
+                             'use with --max_segments 1024)')
+    parser.add_argument('--detector', choices=('sobel', 'pmi'),
+                        default=None,
+                        help='contour detector (default: pmi when --pmi '
+                             'is set, else sobel)')
     args = parser.parse_args()
+    detector = args.detector or ('pmi' if args.pmi else 'sobel')
 
     os.makedirs(args.save_dir, exist_ok=True)
     with open(args.data_list) as f:
@@ -297,7 +414,7 @@ def main():
                          .convert('RGB'), np.float32) / 255.0
         sp = generate(img, args.max_segments,
                       globalize=not args.no_globalize,
-                      half_res=args.pmi)
+                      half_res=args.pmi, detector=detector)
         name = os.path.splitext(os.path.basename(rel))[0] + '.png'
         Image.fromarray(sp.astype(np.uint16)).save(
             os.path.join(args.save_dir, name))
