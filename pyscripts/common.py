@@ -46,6 +46,9 @@ def parse_args(description=''):
                         help='optional cap on steps (smoke tests)')
     parser.add_argument('--num_images', type=int, default=None,
                         help='optional cap on eval images (smoke tests)')
+    parser.add_argument('--skip_existing', action='store_true',
+                        help='skip images whose outputs already exist '
+                             '(restart an interrupted eval job)')
     args = parser.parse_args()
     config = load_config(args.cfg_path)
     if args.kmeans_num_clusters:

@@ -80,6 +80,22 @@ def main():
     n = len(dataset)
     if args.num_images:
         n = min(n, args.num_images)
+    todo = list(range(n))
+    if args.skip_existing:
+        def _done(i):
+            base = os.path.basename(dataset.image_paths[i])
+            base = os.path.splitext(base)[0] + '.png'
+            path = os.path.join(semantic_rgb_dir, base)
+            if not os.path.exists(path):
+                return False
+            try:  # guard against a write truncated by a killed run
+                Image.open(path).load()
+                return True
+            except Exception:
+                return False
+        todo = [i for i in todo if not _done(i)]
+        print(f'skip_existing: {n - len(todo)}/{n} already done',
+              flush=True)
 
     # Host IO rides worker threads so decode (next image) and PNG
     # encode/write (previous image) overlap device compute — the
@@ -99,12 +115,12 @@ def main():
     timings = {'host_load_s': 0.0, 'device_s': 0.0, 'host_write_s': 0.0}
     t_start = time.perf_counter()
     write_futures = []
-    prefetch = pool.submit(dataset.__getitem__, 0) if n else None
-    for idx in range(n):
+    prefetch = pool.submit(dataset.__getitem__, todo[0]) if todo else None
+    for pos, idx in enumerate(todo):
         t0 = time.perf_counter()
         inputs, labels, _ = prefetch.result()
-        if idx + 1 < n:
-            prefetch = pool.submit(dataset.__getitem__, idx + 1)
+        if pos + 1 < len(todo):
+            prefetch = pool.submit(dataset.__getitem__, todo[pos + 1])
         orig_h, orig_w = inputs['image'].shape[:2]
         base = os.path.basename(dataset.image_paths[idx])
         base = os.path.splitext(base)[0] + '.png'
@@ -135,16 +151,16 @@ def main():
         timings['host_load_s'] += t1 - t0
         timings['device_s'] += t2 - t1
         timings['host_write_s'] += t3 - t2
-        if (idx + 1) % 50 == 0 or idx == n - 1:
-            print(f'[{idx + 1}/{n}] predictions saved', flush=True)
+        if (pos + 1) % 50 == 0 or pos == len(todo) - 1:
+            print(f'[{pos + 1}/{len(todo)}] predictions saved', flush=True)
     for f in write_futures:
         f.result()
     pool.shutdown()
     wall = time.perf_counter() - t_start
-    if n:
+    if todo:
         print(json.dumps({
-            'images': n, 'wall_s': round(wall, 1),
-            'img_per_s': round(n / wall, 2),
+            'images': len(todo), 'wall_s': round(wall, 1),
+            'img_per_s': round(len(todo) / wall, 2),
             **{k: round(v, 1) for k, v in timings.items()},
         }), flush=True)
 

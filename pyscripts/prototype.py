@@ -59,6 +59,22 @@ def main():
     n = len(dataset)
     if args.num_images:
         n = min(n, args.num_images)
+    todo = list(range(n))
+    if args.skip_existing:
+        def _done(idx):
+            base = os.path.basename(dataset.image_paths[idx])
+            path = os.path.join(
+                prototype_dir, os.path.splitext(base)[0] + '.npy')
+            if not os.path.exists(path):
+                return False
+            try:  # guard against a write truncated by a killed run
+                np.load(path, allow_pickle=True)
+                return True
+            except Exception:
+                return False
+        todo = [i for i in todo if not _done(i)]
+        print(f'skip_existing: {n - len(todo)}/{n} already done',
+              flush=True)
     import time
     from concurrent.futures import ThreadPoolExecutor
 
@@ -81,11 +97,11 @@ def main():
 
     write_futures = []
     t_start = time.perf_counter()
-    prefetch = pool.submit(dataset.__getitem__, 0) if n else None
-    for idx in range(n):
+    prefetch = pool.submit(dataset.__getitem__, todo[0]) if todo else None
+    for pos, idx in enumerate(todo):
         inputs, labels, _ = prefetch.result()
-        if idx + 1 < n:
-            prefetch = pool.submit(dataset.__getitem__, idx + 1)
+        if pos + 1 < len(todo):
+            prefetch = pool.submit(dataset.__getitem__, todo[pos + 1])
         base = os.path.basename(dataset.image_paths[idx])
         base = os.path.splitext(base)[0] + '.png'
 
@@ -123,15 +139,15 @@ def main():
             num_segments, cluster_index))
         if len(write_futures) > 8:
             write_futures.pop(0).result()
-        if (idx + 1) % 50 == 0 or idx == n - 1:
-            print(f'[{idx + 1}/{n}] prototypes saved', flush=True)
+        if (pos + 1) % 50 == 0 or pos == len(todo) - 1:
+            print(f'[{pos + 1}/{len(todo)}] prototypes saved', flush=True)
     for f in write_futures:
         f.result()
     pool.shutdown()
-    if n:
+    if todo:
         wall = time.perf_counter() - t_start
-        print(f'prototype: {n} images in {wall:.1f}s '
-              f'({n / wall:.2f} img/s)', flush=True)
+        print(f'prototype: {len(todo)} images in {wall:.1f}s '
+              f'({len(todo) / wall:.2f} img/s)', flush=True)
 
 
 if __name__ == '__main__':

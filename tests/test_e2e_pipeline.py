@@ -66,6 +66,23 @@ def test_full_pipeline(tmp_path):
                '--num_classes', '4', '--string_replace', '')
     assert 'mean IOU' in out or 'mean IoU' in out
 
+    # --skip_existing restarts an interrupted eval job: rerun both eval
+    # scripts over all 4 images — the 2 already-written outputs are
+    # detected and only the remaining 2 are produced.
+    out = _run('prototype.py', '--data_dir', data, '--data_list', lst,
+               '--snapshot_dir', snap, '--save_dir', res + '/train',
+               '--kmeans_num_clusters', '3,3', '--label_divisor', '256',
+               '--cfg_path', cfg, '--skip_existing')
+    assert 'skip_existing: 2/4 already done' in out
+    assert len(os.listdir(res + '/train/semantic_prototype')) == 4
+    out = _run('inference.py', '--data_dir', data, '--data_list', lst,
+               '--snapshot_dir', snap, '--save_dir', res + '/val',
+               '--semantic_memory_dir', res + '/train/semantic_prototype',
+               '--kmeans_num_clusters', '3,3', '--label_divisor', '256',
+               '--cfg_path', cfg, '--skip_existing')
+    assert 'skip_existing: 2/4 already done' in out
+    assert len(os.listdir(res + '/val/semantic_gray')) == 4
+
 
 @pytest.mark.slow
 def test_train_pipeline_variants(tmp_path):
