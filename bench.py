@@ -58,7 +58,8 @@ REFERENCE_IMG_S = 30.0  # derived above + docs/DESIGN.md; PyTorch ref, V100
 ITERS = 10
 FLOPS_PER_IMG = 172.8e9  # XLA CPU cost analysis of this pipeline, bf16
 TRAIN_FLOPS_PER_VIEW = 41.18e9  # XLA CPU cost analysis, stage-1 train step
-TRAIN_STEPS = 40
+TRAIN_STEPS = 60
+TRAIN_CHAIN = 10  # steps per dispatch (lax.scan) — excludes host RTT
 
 # bf16 matmul peak FLOP/s by device kind prefix (public specs).
 PEAK_FLOPS = {
@@ -137,6 +138,7 @@ def main():
         import sys as _sys, os as _os
         _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
         from tools.rehearse_recipes import run as rehearse_run
+        _os.environ.setdefault('HSG_CHAINED', str(TRAIN_CHAIN))
         tr = rehearse_run('stage1', steps=TRAIN_STEPS, emit=False)
         result['train_ms_step'] = tr['ms_per_step']
         result['train_views_s'] = tr['views_per_s']
