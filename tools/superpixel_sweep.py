@@ -10,6 +10,8 @@ component) actually matters:
   local   watershed over local gradient strength (tools/
           generate_superpixels.py --no_globalize)
   spb     + spectral globalization (the shipped OWT-UCM analog)
+  pmi     PMI crisp-boundaries detector + globalization (the
+          generate_pmi_owt_ucm.m analog)
   gt      class-aligned oversegmentation (an oracle contour detector)
 
 Everything runs in ONE process so the jitted train/eval programs compile
@@ -43,7 +45,7 @@ def build_dataset(root, n_train, n_val, train_hw, val_hw, classes, seed=0):
 def superpixel_variants(root, n_train, max_segments=48):
     """{variant: [B, H, W] superpixel maps} over the train split."""
     from tools.generate_superpixels import generate
-    out = {'grid': [], 'local': [], 'spb': [], 'gt': []}
+    out = {'grid': [], 'local': [], 'spb': [], 'pmi': [], 'gt': []}
     for i in range(n_train):
         name = f'train_{i:05d}'
         img = np.asarray(Image.open(
@@ -59,6 +61,8 @@ def superpixel_variants(root, n_train, max_segments=48):
         out['gt'].append(gt_sp)
         out['local'].append(generate(img, max_segments, globalize=False))
         out['spb'].append(generate(img, max_segments, globalize=True))
+        out['pmi'].append(generate(img, max_segments, globalize=True,
+                                   detector='pmi'))
         if (i + 1) % 32 == 0:
             print(f'superpixels {i + 1}/{n_train}', flush=True)
     return {k: np.stack(v) for k, v in out.items()}
@@ -103,7 +107,7 @@ def main():
     ap.add_argument('--n_train', type=int, default=128)
     ap.add_argument('--n_val', type=int, default=48)
     ap.add_argument('--batch_images', type=int, default=16)
-    ap.add_argument('--variants', default='grid,local,spb,gt')
+    ap.add_argument('--variants', default='grid,local,spb,pmi,gt')
     args = ap.parse_args()
 
     from pyscripts import eval_common
