@@ -66,3 +66,38 @@ def make_resident_step(base_step, n_total: int, batch_images: int, mesh,
         return base_step(state, sel, rng, *bank)
 
     return resident_step
+
+
+def make_chained_step(resident_step, length: int):
+    """Runs `length` resident steps in ONE dispatch via `lax.scan`.
+
+    `train.chain_steps`: on high-RTT runtimes each dispatch costs a host
+    round-trip (~25-30 ms through this environment's tunnel); chaining
+    amortizes it over `length` steps. Only meaningful for the
+    device_resident pipeline, where batch selection needs no host.
+
+    `rng` must be the UNFOLDED base key: each scanned step derives its
+    per-iteration key as `fold_in(rng, state.step)` — identical to the
+    host loop's `fold_in(rng, it)` (state.step == it), so chained and
+    unchained runs draw the same randomness and a resumed run is
+    bit-reproducible across chain lengths.
+
+    Returns the final state (and bank) plus the LAST step's metrics —
+    matching what a host loop stepping one-by-one would observe at the
+    chain's final iteration (log lines and tensorboard points land on
+    the same iterations with the same values).
+    """
+
+    def chained(state, data, rng, *bank):
+        def body(carry, _):
+            st = carry[0]
+            step_rng = jax.random.fold_in(rng, st.step)
+            out = resident_step(st, data, step_rng, *carry[1:])
+            return (out[0], *out[2:]), out[1]
+
+        carry, metrics = jax.lax.scan(body, (state, *bank), None,
+                                      length=length)
+        last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+        return (carry[0], last, *carry[1:])
+
+    return chained

@@ -358,15 +358,31 @@ def main():
 
     mesh = mesh_lib.create_mesh()
     donate = (0, 3) if bank_size > 0 else (0,)
+    # chain_steps > 1: run N steps per dispatch (lax.scan) to amortize
+    # host round-trip latency — only possible when stepping needs no
+    # per-iteration host data (device_resident).
+    chain = int(config.train.get('chain_steps', 1) or 1)
+    if chain > 1 and not resident:
+        print('train.chain_steps requires data_pipeline: '
+              'device_resident; ignoring', flush=True)
+        chain = 1
+    chained_fns = {}
     if resident:
         from hsg_tpu.train import resident as res_lib
         n_total = resident_data['image_raw'].shape[0]
         # Epoch-shuffled on-device sampling (hsg_tpu/train/resident.py):
         # same coverage semantics as the host loaders' shuffled epochs.
-        step_fn = jax.jit(
-            res_lib.make_resident_step(base_step, n_total, local_images,
-                                       mesh),
-            donate_argnums=donate)
+        res_step = res_lib.make_resident_step(base_step, n_total,
+                                              local_images, mesh)
+        step_fn = jax.jit(res_step, donate_argnums=donate)
+
+        def chained_fn(n):
+            if n not in chained_fns:
+                chained_fns[n] = jax.jit(
+                    res_lib.make_chained_step(res_step, n),
+                    donate_argnums=donate)
+            return chained_fns[n]
+
         resident_data = jax.device_put(
             resident_data, mesh_lib.replicated(mesh))
     else:
@@ -399,18 +415,52 @@ def main():
 
     # Per-step rng is a pure function of the iteration index so a
     # resumed run draws the same augmentation/dropout randomness as an
-    # uninterrupted one (a sequential split chain would restart).
+    # uninterrupted one (a sequential split chain would restart) — and
+    # chained dispatches fold the same way (state.step == it), so any
+    # chain_steps setting draws identical randomness.
     rng = jax.random.PRNGKey(1235)
+    tb = max(1, config.train.tensorboard_step or 0)
+    snap = config.train.snapshot_step
+
+    def _chain_len(i):
+        """Longest chain from iteration `i` that ends ON (not past) the
+        next post-step action — log (j % tb == 0), snapshot
+        ((j+1) % snap == 0), profiler hook, or max_iter. Shipped recipes
+        have chain | tb | snap, so this settles into one compiled
+        length."""
+        n = min(chain, max_iter - i)
+        if config.train.tensorboard_step:
+            j = i + (-i) % tb
+            n = min(n, j - i + 1)
+        if snap:
+            j = i + (snap - 1 - i % snap) % snap
+            n = min(n, j - i + 1)
+        if profile_dir:
+            for j in (curr_iter + 2, curr_iter + 4):
+                if j >= i:
+                    n = min(n, j - i + 1)
+        return max(1, n)
+
     t0 = time.time()
-    for it in range(curr_iter, max_iter):
-        step_rng = jax.random.fold_in(rng, it)
-        if resident:
+    it = curr_iter
+    while it < max_iter:
+        if chain > 1:
+            n = _chain_len(it)
+            if bank is not None:
+                state, metrics, bank = chained_fn(n)(
+                    state, resident_data, rng, bank)
+            else:
+                state, metrics = chained_fn(n)(state, resident_data, rng)
+            it = it + n - 1          # iteration the last metrics belong to
+        elif resident:
+            step_rng = jax.random.fold_in(rng, it)
             if bank is not None:
                 state, metrics, bank = step_fn(state, resident_data,
                                                step_rng, bank)
             else:
                 state, metrics = step_fn(state, resident_data, step_rng)
         else:
+            step_rng = jax.random.fold_in(rng, it)
             sharded = mesh_lib.shard_batch(batch, mesh)
             if bank is not None:
                 state, metrics, bank = step_fn(state, sharded, step_rng,
@@ -443,6 +493,7 @@ def main():
                      or it == max_iter - 1)):
             path = ckpt_lib.save_checkpoint(args.snapshot_dir, state)
             print(f'snapshot -> {path}', flush=True)
+        it += 1
 
     if not config.train.snapshot_step:
         ckpt_lib.save_checkpoint(args.snapshot_dir, state)

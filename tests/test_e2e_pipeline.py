@@ -94,16 +94,19 @@ def test_train_pipeline_variants(tmp_path):
     lst = os.path.join(data, 'list.txt')
     base = yaml.safe_load(
         open(os.path.join(REPO, 'configs', 'tiny_synthetic.yaml')))
-    for pipeline in ('tf_raw', 'device_resident'):
+    for pipeline, extra in (('tf_raw', {}),
+                            ('device_resident', {}),
+                            ('device_resident', {'chain_steps': 2})):
         cfg = dict(base)
         cfg['train'] = dict(base['train'], data_pipeline=pipeline,
-                            staging_size=64)
-        cfg_path = str(tmp_path / f'{pipeline}.yaml')
+                            staging_size=64, **extra)
+        tag = pipeline + ('_chained' if extra else '')
+        cfg_path = str(tmp_path / f'{tag}.yaml')
         yaml.safe_dump(cfg, open(cfg_path, 'w'))
         out = _run('train.py', '--data_dir', data, '--data_list', lst,
-                   '--snapshot_dir', str(tmp_path / f'snap_{pipeline}'),
-                   '--cfg_path', cfg_path, '--max_steps', '2')
-        assert 'done: 2 steps' in out, pipeline
-        assert 'nan' not in out, pipeline
+                   '--snapshot_dir', str(tmp_path / f'snap_{tag}'),
+                   '--cfg_path', cfg_path, '--max_steps', '4')
+        assert 'done: 4 steps' in out, tag
+        assert 'nan' not in out, tag
         if pipeline == 'device_resident':
             assert 'device-resident dataset: 4 images' in out
