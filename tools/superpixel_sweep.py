@@ -42,27 +42,76 @@ def build_dataset(root, n_train, n_val, train_hw, val_hw, classes, seed=0):
                (16, 16), 8, seed + 2, superpixel=False)
 
 
-def superpixel_variants(root, n_train, max_segments=48):
+def cap_class_aligned(sp, sem, max_segments):
+    """Reduce a class-aligned oversegmentation to <= max_segments by
+    merging the smallest same-class segments — class purity (the oracle
+    property) is preserved exactly, only granularity is reduced. Without
+    this the 'gt' variant silently loses every segment past the model's
+    static cap, scoring WORSE than learned detectors."""
+    ids, counts = np.unique(sp, return_counts=True)
+    if len(ids) <= max_segments:
+        return sp
+    seg_class = {s: int(np.bincount(sem[sp == s].reshape(-1)).argmax())
+                 for s in ids}
+    by_class: dict = {}
+    for s, c in seg_class.items():
+        by_class.setdefault(c, []).append(s)
+    sizes = dict(zip(ids.tolist(), counts.tolist()))
+    remap = {s: s for s in ids.tolist()}
+    n = len(ids)
+    while n > max_segments:
+        # Merge the two smallest segments of the most-fragmented class.
+        c = max(by_class, key=lambda k: len(by_class[k]))
+        if len(by_class[c]) < 2:
+            break
+        by_class[c].sort(key=lambda s: sizes[s])
+        a, b = by_class[c][0], by_class[c][1]
+        by_class[c] = by_class[c][1:]
+        sizes[b] += sizes.pop(a)
+        for s, t in remap.items():
+            if t == a:
+                remap[s] = b
+        n -= 1
+    out = sp.copy()
+    for s, t in remap.items():
+        if s != t:
+            out[sp == s] = t
+    _, out = np.unique(out, return_inverse=True)
+    return out.reshape(sp.shape).astype(np.int32)
+
+
+def superpixel_variants(root, n_train, max_segments=48, wanted=None):
     """{variant: [B, H, W] superpixel maps} over the train split."""
     from tools.generate_superpixels import generate
     out = {'grid': [], 'local': [], 'spb': [], 'pmi': [], 'gt': []}
+    if wanted:
+        out = {k: v for k, v in out.items() if k in wanted}
     for i in range(n_train):
         name = f'train_{i:05d}'
         img = np.asarray(Image.open(
             os.path.join(root, 'train/images', name + '.jpg')),
             np.float32) / 255.0
-        gt_sp = np.asarray(Image.open(
+        sem = np.asarray(Image.open(
+            os.path.join(root, 'train/segcls', name + '.png')), np.int32)
+        gt_sp = cap_class_aligned(np.asarray(Image.open(
             os.path.join(root, 'train/superpixel', name + '.png')),
-            np.int32)
+            np.int32), sem, max_segments)
         h, w = img.shape[:2]
         gy = np.minimum(np.arange(h) * 7 // h, 6)
         gx = np.minimum(np.arange(w) * 7 // w, 6)
-        out['grid'].append((gy[:, None] * 7 + gx[None, :]).astype(np.int32))
-        out['gt'].append(gt_sp)
-        out['local'].append(generate(img, max_segments, globalize=False))
-        out['spb'].append(generate(img, max_segments, globalize=True))
-        out['pmi'].append(generate(img, max_segments, globalize=True,
-                                   detector='pmi'))
+        if 'grid' in out:
+            out['grid'].append(
+                (gy[:, None] * 7 + gx[None, :]).astype(np.int32))
+        if 'gt' in out:
+            out['gt'].append(gt_sp)
+        if 'local' in out:
+            out['local'].append(generate(img, max_segments,
+                                         globalize=False))
+        if 'spb' in out:
+            out['spb'].append(generate(img, max_segments, globalize=True))
+        if 'pmi' in out:
+            out['pmi'].append(generate(img, max_segments, globalize=True,
+                                       detector='pmi'))
         if (i + 1) % 32 == 0:
             print(f'superpixels {i + 1}/{n_train}', flush=True)
     return {k: np.stack(v) for k, v in out.items()}
@@ -120,7 +169,8 @@ def main():
     if not os.path.exists(os.path.join(args.root, 'val.txt')):
         build_dataset(args.root, args.n_train, args.n_val, train_hw,
                       val_hw, classes)
-    variants = superpixel_variants(args.root, args.n_train)
+    variants = superpixel_variants(args.root, args.n_train,
+                                   wanted=set(args.variants.split(',')))
     imgs, true_hw = H.load_split_raw(args.root, 'train', args.n_train,
                                      train_hw)
 
