@@ -135,9 +135,14 @@ def main():
     raw_mode = pipeline in ('tf_raw', 'device_resident')
     resident = pipeline == 'device_resident'
     if resident and jax.process_count() > 1:
-        raise NotImplementedError(
-            'device_resident staging is single-host (fits-in-HBM '
-            'datasets); use tf_raw for multi-host streaming')
+        # Every process stages the FULL dataset (deterministic list
+        # order), so the replicated resident arrays are identical across
+        # hosts; batch selection is a pure function of state.step and
+        # picks the same global rows everywhere. Each host's HBM must
+        # fit the whole dataset — for bigger-than-HBM datasets use the
+        # streaming tf_raw pipeline instead.
+        print(f'device_resident multi-host: dataset replicated on all '
+              f'{jax.process_count()} processes', flush=True)
     if raw_mode:
         # FULLY on-device augmentation: the host only decodes (cached)
         # and stacks fixed-size uint8 canvases; mirror/scale/crop run as
@@ -372,8 +377,11 @@ def main():
         n_total = resident_data['image_raw'].shape[0]
         # Epoch-shuffled on-device sampling (hsg_tpu/train/resident.py):
         # same coverage semantics as the host loaders' shuffled epochs.
+        # Selection draws the GLOBAL batch (identical pure function of
+        # state.step on every process); the sharding constraint then
+        # splits its rows across the global mesh.
         res_step = res_lib.make_resident_step(base_step, n_total,
-                                              local_images, mesh)
+                                              images_per_step, mesh)
         step_fn = jax.jit(res_step, donate_argnums=donate)
 
         def chained_fn(n):
@@ -383,8 +391,10 @@ def main():
                     donate_argnums=donate)
             return chained_fns[n]
 
-        resident_data = jax.device_put(
-            resident_data, mesh_lib.replicated(mesh))
+        # mesh_lib.replicate handles both topologies: device_put on one
+        # process, make_array_from_process_local_data across processes
+        # (every process staged the identical list-ordered dataset).
+        resident_data = mesh_lib.replicate(resident_data, mesh)
     else:
         step_fn = jax.jit(base_step, donate_argnums=donate)
     state = mesh_lib.replicate(state, mesh)
@@ -402,7 +412,11 @@ def main():
         bank = mesh_lib.replicate(bank, mesh)
 
     writer = None
-    if config.train.tensorboard_step:
+    # Host-side artifacts (tensorboard events, snapshots) are written by
+    # process 0 only — the state is replicated, so other processes hold
+    # identical values and writing from them would just race on the dir.
+    is_primary = jax.process_index() == 0
+    if config.train.tensorboard_step and is_primary:
         try:
             import tensorboardX
             writer = tensorboardX.SummaryWriter(logdir=args.snapshot_dir)
@@ -488,14 +502,14 @@ def main():
                 _write_image_panels(writer, embedding_model, state,
                                     batch, config, it)
 
-        if (config.train.snapshot_step
+        if (config.train.snapshot_step and is_primary
                 and ((it + 1) % config.train.snapshot_step == 0
                      or it == max_iter - 1)):
             path = ckpt_lib.save_checkpoint(args.snapshot_dir, state)
             print(f'snapshot -> {path}', flush=True)
         it += 1
 
-    if not config.train.snapshot_step:
+    if not config.train.snapshot_step and is_primary:
         ckpt_lib.save_checkpoint(args.snapshot_dir, state)
     loader.close()
     final_loss = float(metrics["loss"]) if max_iter > curr_iter else float("nan")
