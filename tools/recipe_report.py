@@ -1,0 +1,99 @@
+"""Report a recipe run from its snapshot dir's tensorboard event files.
+
+Stitches the (possibly kill+resumed, overlapping) event files into one
+step-indexed history — later files win on overlap, matching what a
+resumed trainer actually executed — and prints:
+
+- per-file step coverage (the resume seams),
+- LR-milestone crossings (step-policy drops) with the loss around them,
+- loss quantiles over the run and the final window,
+- wall-clock per file and sustained ms/step (from event wall times).
+
+This is the measurement behind docs/DESIGN.md's full-recipe-execution
+numbers (reference analog: reading the reference's train.py:331-343
+print log by eye — bashscripts/cityscapes/train.sh:13-53 recipes have no
+reporting tool at all).
+
+Usage:
+    python tools/recipe_report.py snapshots/cityscapes_synthetic/fcn_res50_hsg_cs
+"""
+
+import argparse
+import glob
+import os
+
+
+def load_history(snapshot_dir):
+    """-> (per_file, merged) where merged = {tag: {step: (wall, value)}}."""
+    from tensorflow.python.summary.summary_iterator import summary_iterator
+
+    per_file = []
+    merged = {}
+    for path in sorted(glob.glob(os.path.join(snapshot_dir, 'events.out*'))):
+        tags = {}
+        try:
+            for e in summary_iterator(path):
+                for v in e.summary.value:
+                    tags.setdefault(v.tag, {})[e.step] = (e.wall_time,
+                                                          v.simple_value)
+        except Exception:
+            pass  # live/truncated tail record of a running trainer
+        if not tags:
+            continue
+        per_file.append((os.path.basename(path), tags))
+        for tag, by_step in tags.items():
+            merged.setdefault(tag, {}).update(by_step)
+    return per_file, merged
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('snapshot_dir')
+    ap.add_argument('--loss_tag', default='loss')
+    ap.add_argument('--lr_tag', default='lr')
+    args = ap.parse_args()
+
+    per_file, merged = load_history(args.snapshot_dir)
+    if not per_file:
+        raise SystemExit(f'no event files with scalars in '
+                         f'{args.snapshot_dir}')
+
+    print('== segments (resume seams) ==')
+    for name, tags in per_file:
+        loss = tags.get(args.loss_tag, {})
+        if not loss:
+            continue
+        ks = sorted(loss)
+        wall = loss[ks[-1]][0] - loss[ks[0]][0]
+        rate = wall / max(1, ks[-1] - ks[0]) * 1e3
+        print(f'  {name}: steps {ks[0]}..{ks[-1]} '
+              f'loss {loss[ks[0]][1]:.3f}->{loss[ks[-1]][1]:.3f} '
+              f'({wall / 3600:.2f} h logged, ~{rate:.0f} ms/step)')
+
+    loss = {s: v for s, (_, v) in merged.get(args.loss_tag, {}).items()}
+    lr = {s: v for s, (_, v) in merged.get(args.lr_tag, {}).items()}
+    steps = sorted(loss)
+
+    if lr:
+        print('== lr milestones ==')
+        lr_steps = sorted(lr)
+        prev = lr[lr_steps[0]]
+        for s in lr_steps[1:]:
+            if lr[s] != prev:
+                near = [t for t in steps if abs(t - s) <= 600]
+                ls = (f' loss~{sum(loss[t] for t in near) / len(near):.3f}'
+                      if near else '')
+                print(f'  step {s}: lr {prev:g} -> {lr[s]:g}{ls}')
+                prev = lr[s]
+
+    print('== loss ==')
+    q = lambda f: loss[steps[min(len(steps) - 1, int(f * len(steps)))]]
+    tail = [loss[s] for s in steps[-10:]]
+    print(f'  start {loss[steps[0]]:.3f}  25% {q(.25):.3f}  '
+          f'50% {q(.5):.3f}  75% {q(.75):.3f}  end {loss[steps[-1]]:.3f} '
+          f'(last-10-point mean {sum(tail) / len(tail):.3f})')
+    print(f'  logged points {len(steps)}, last step {steps[-1]}')
+
+
+if __name__ == '__main__':
+    main()
