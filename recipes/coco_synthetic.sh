@@ -9,6 +9,11 @@
 #       --train 4000 --train_size 256,256 --val 500 --val_size 500,500 \
 #       --classes 21 --sp_grid 8,8 --seed 7
 #   DATAROOT=/tmp/syn_coco bash recipes/coco_synthetic.sh
+#
+# FULL=1 restores the reference's FULL iteration counts (350k stage-1 +
+# 20k stage-2, bashscripts/coco/train.sh:108,214 — ~8.6 h on one v5e at
+# the measured step rates). Both stages auto-resume from the newest
+# snapshot, so a preempted run continues with the same command.
 set -e
 
 DATAROOT=${DATAROOT:-/tmp/syn_coco}
@@ -17,6 +22,17 @@ BASE=${BASE:-snapshots/coco_synthetic}
 for stage in stage1 stage2; do
   mkdir -p ${BASE}/${stage}
   cp configs/coco_synthetic_${stage}.yaml ${BASE}/${stage}/config.yaml
+  if [ -n "${FULL:-}" ]; then
+    python - ${BASE}/${stage}/config.yaml ${stage} <<'EOF'
+import sys, yaml
+path, stage = sys.argv[1], sys.argv[2]
+cfg = yaml.safe_load(open(path))
+cfg['train']['max_iteration'] = 350000 if stage == 'stage1' else 20000
+cfg['train']['snapshot_step'] = 10000 if stage == 'stage1' else 2500
+yaml.safe_dump(cfg, open(path, 'w'))
+print(f'{path}: FULL scale ({cfg["train"]["max_iteration"]} iterations)')
+EOF
+  fi
   python pyscripts/train.py \
     --data_dir ${DATAROOT} \
     --data_list ${DATAROOT}/train.txt \
