@@ -85,6 +85,9 @@ def default_config() -> Config:
             'decay_iterations': (0,),
             'snapshot_step': 0,
             'tensorboard_step': 0,
+            # image-panel cadence; 0 = every tensorboard_step (the
+            # reference couples them, pyscripts/train/train.py:272-308)
+            'panel_step': 0,
             'base_lr': 1e-3,
             'weight_decay': 5e-3,
             'momentum': 0.9,

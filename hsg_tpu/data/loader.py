@@ -50,6 +50,13 @@ class PrefetchLoader:
                  else self._np.arange(n))
         nb = n // self.batch_size if self.drop_last else (
             (n + self.batch_size - 1) // self.batch_size)
+        if nb == 0:
+            # Without this, workers would wait for indices and the
+            # consumer for batches — a silent deadlock.
+            raise ValueError(
+                f'dataset has {n} images but one batch needs '
+                f'{self.batch_size} (global batch = train.batch_size x '
+                f'device count): not enough data for a single step')
         for i in range(nb):
             self._index_queue.put(order[i * self.batch_size:
                                         (i + 1) * self.batch_size])

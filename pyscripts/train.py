@@ -434,6 +434,12 @@ def main():
     # chain_steps setting draws identical randomness.
     rng = jax.random.PRNGKey(1235)
     tb = max(1, config.train.tensorboard_step or 0)
+    # Image panels (PCA vis + hierarchy maps) cost a separate device
+    # forward plus host SVD/PNG work — on a tunneled chip that is
+    # seconds per write. `train.panel_step` decouples their cadence
+    # from the cheap scalar logs (0/absent = every tensorboard_step,
+    # the reference's coupling, train.py:272-308).
+    panel = config.train.get('panel_step', 0) or tb
     snap = config.train.snapshot_step
 
     def _chain_len(i):
@@ -499,8 +505,9 @@ def main():
             if writer is not None:
                 for k, v in vals.items():
                     writer.add_scalar(k, v, it)
-                _write_image_panels(writer, embedding_model, state,
-                                    batch, config, it)
+                if it % panel == 0:
+                    _write_image_panels(writer, embedding_model, state,
+                                        batch, config, it)
 
         if (config.train.snapshot_step and is_primary
                 and ((it + 1) % config.train.snapshot_step == 0

@@ -22,15 +22,22 @@ BASE=${BASE:-snapshots/coco_synthetic}
 for stage in stage1 stage2; do
   mkdir -p ${BASE}/${stage}
   cp configs/coco_synthetic_${stage}.yaml ${BASE}/${stage}/config.yaml
-  if [ -n "${FULL:-}" ]; then
+  if [ -n "${FULL:-}${STAGE1_ITERS:-}${STAGE2_ITERS:-}" ]; then
+    # FULL=1 restores the reference counts; STAGE{1,2}_ITERS=N overrides
+    # a stage's count (e.g. a schedule-complete partial execution on a
+    # single chip — the LR milestones are fractions of max_iteration,
+    # so overriding here keeps the step schedule soaking end to end).
     python - ${BASE}/${stage}/config.yaml ${stage} <<'EOF'
-import sys, yaml
+import os, sys, yaml
 path, stage = sys.argv[1], sys.argv[2]
 cfg = yaml.safe_load(open(path))
-cfg['train']['max_iteration'] = 350000 if stage == 'stage1' else 20000
-cfg['train']['snapshot_step'] = 10000 if stage == 'stage1' else 2500
+full = 350000 if stage == 'stage1' else 20000
+iters = int(os.environ.get(f'{stage.upper()}_ITERS') or full)
+cfg['train']['max_iteration'] = iters
+cfg['train']['snapshot_step'] = min(10000 if stage == 'stage1' else 2500,
+                                    iters)
 yaml.safe_dump(cfg, open(path, 'w'))
-print(f'{path}: FULL scale ({cfg["train"]["max_iteration"]} iterations)')
+print(f'{path}: {iters} iterations')
 EOF
   fi
   python pyscripts/train.py \

@@ -112,6 +112,17 @@ def test_prefetch_loader_iterates(synth):
     dl.close()
 
 
+def test_prefetch_loader_rejects_undersized_dataset(synth):
+    """A dataset smaller than one (global) batch must raise loudly
+    instead of deadlocking the worker/consumer queues."""
+    ds = dataset.SelfsupListDataset(
+        synth, os.path.join(synth, 'list.txt'),
+        size=(32, 32), random_crop=True, training=True)
+    with pytest.raises(ValueError, match='not enough data'):
+        loader.PrefetchLoader(ds, batch_size=len(ds) + 1,
+                              num_workers=1, seed=0)
+
+
 def test_vendored_dataset_lists_resolve_and_parse():
     """The recipes' default list files must exist in-repo and parse as
     `image gt superpixel` triplets with the reference's split sizes
