@@ -23,9 +23,11 @@ def _apply_platform_override():
         jax.config.update('jax_platforms', plat)
 
 
-def parse_args(description=''):
+def parse_args(description='', extra_args=()):
     _apply_platform_override()
     parser = argparse.ArgumentParser(description=description)
+    for flags, kwargs in extra_args:
+        parser.add_argument(*flags, **kwargs)
     parser.add_argument('--snapshot_dir', required=True, type=str,
                         help='/path/to/snapshot/dir.')
     parser.add_argument('--save_dir', type=str,

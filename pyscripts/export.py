@@ -1,0 +1,86 @@
+"""Export a trained snapshot + memory bank as a standalone serving artifact.
+
+The reference ships no deployment path (its inference is the eager
+per-image loop, reference pyscripts/inference/inference.py:111-252).
+This packages the full label-an-image pipeline into one `jax.export`
+artifact (see hsg_tpu/eval/export_lib.py): the serving host needs only
+jax and the .bin file — no Flax model defs, checkpoint, or memory-bank
+files.
+
+Usage:
+  python pyscripts/export.py \
+      --snapshot_dir snapshots/run/stage2 \
+      --semantic_memory_dir snapshots/run/stage2/results/train/semantic_prototype \
+      --save_dir snapshots/run/stage2/serving \
+      --kmeans_num_clusters 6,6 --label_divisor 2048 \
+      --cfg_path snapshots/run/stage2/config.yaml [--platforms tpu,cpu]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from pyscripts.common import parse_args, build_embedding_model
+
+    extra = [(('--platforms',),
+              dict(type=str, default=None,
+                   help='comma list of lowering platforms, e.g. tpu,cpu '
+                        '(default: current backend only)'))]
+    args, config = parse_args('Export a standalone serving artifact.',
+                              extra_args=extra)
+
+    import jax
+    import jax.numpy as jnp
+    from hsg_tpu.eval import export_lib, memory_bank
+    from hsg_tpu.train import checkpoint as ckpt_lib
+
+    k = int(np.prod(config.network.kmeans_num_clusters))
+    config.network.max_segments_per_view = max(
+        config.network.max_segments_per_view, k)
+
+    model = build_embedding_model(config, test=True)
+    step = ckpt_lib.latest_step(args.snapshot_dir)
+    assert step is not None, f'no checkpoint in {args.snapshot_dir}'
+    variables = ckpt_lib.restore_variables(args.snapshot_dir, step)
+
+    assert args.semantic_memory_dir, '--semantic_memory_dir required'
+    memory, memory_labels = memory_bank.load_memory_banks(
+        args.semantic_memory_dir)
+    keep = memory_labels != config.dataset.semantic_ignore_index
+    memory, memory_labels = memory[keep], memory_labels[keep]
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    fn = export_lib.make_serving_fn(model, variables, memory, memory_labels,
+                                    config)
+    ch, cw = (int(s) for s in config.test.crop_size)
+    example = (jnp.zeros((ch, cw, 3), jnp.float32),
+               jnp.int32(ch), jnp.int32(cw))
+    platforms = tuple(args.platforms.split(',')) if args.platforms else None
+    artifact = os.path.join(args.save_dir, 'serving.bin')
+    export_lib.export_serving(fn, example, artifact, platforms=platforms)
+    meta = export_lib.write_sidecar(
+        os.path.join(args.save_dir, 'serving.json'), config, memory.shape[0])
+
+    # Self-check: the deserialized artifact must reproduce the direct
+    # jitted fn on a random input.
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.normal(size=(ch, cw, 3)), jnp.float32)
+    vh, vw = jnp.int32(ch * 3 // 4), jnp.int32(cw * 3 // 4)
+    want = np.asarray(jax.jit(fn)(image, vh, vw))
+    got = np.asarray(export_lib.load_serving(artifact)(image, vh, vw))
+    assert (want == got).all(), 'deserialized artifact mismatch'
+    size_mb = os.path.getsize(artifact) / 2**20
+    print(f'exported {artifact} ({size_mb:.1f} MiB, '
+          f'{meta["memory_prototypes"]} memory prototypes, '
+          f'platforms={platforms or "current"}); self-check OK')
+
+
+if __name__ == '__main__':
+    main()
