@@ -67,6 +67,24 @@ def test_export_roundtrip(tmp_path):
             [8:, :] == 0).all()
 
 
+@pytest.mark.slow
+def test_export_multiplatform(tmp_path):
+    """A ('tpu','cpu') artifact lowers from a CPU host and runs on CPU —
+    the shippable cross-platform deployment file."""
+    cfg, model, variables, memory, memory_labels = _tiny_setup()
+    fn = export_lib.make_serving_fn(model, variables, memory, memory_labels,
+                                    cfg)
+    example = (jnp.zeros((32, 32, 3), jnp.float32), jnp.int32(32),
+               jnp.int32(32))
+    artifact = str(tmp_path / 'serving_mp.bin')
+    exported = export_lib.export_serving(fn, example, artifact,
+                                         platforms=('tpu', 'cpu'))
+    assert exported.platforms == ('tpu', 'cpu')
+    got = np.asarray(export_lib.load_serving(artifact)(
+        example[0], jnp.int32(24), jnp.int32(28)))
+    assert got.shape == (32, 32) and got.dtype == np.uint8
+
+
 def test_export_sidecar(tmp_path):
     cfg, _, _, memory, _ = _tiny_setup()
     meta = export_lib.write_sidecar(str(tmp_path / 'serving.json'), cfg,
