@@ -98,8 +98,9 @@ def default_config() -> Config:
             # 'bfloat16' = ~2x kernel throughput, <1e-2 nll error,
             # f32 accumulation (ops/pallas/nca_kernel.py).
             'nca_compute_dtype': 'float32',
-            # Pixel-level NCA route: 'auto' (dense <= 8192 prototypes,
-            # tiled above), 'dense', 'chunked', 'pallas'.
+            # Pixel-level NCA route: 'auto' (dense below 8192 prototypes;
+            # fused Pallas tiles at >= 8192 on TPU, chunked scan
+            # elsewhere), 'dense', 'chunked', 'pallas'.
             'nca_impl': 'auto',
             'sem_ann_loss_types': 'none',
             'sem_occ_loss_types': 'none',

@@ -155,7 +155,7 @@ class SegSortLoss:
     validity mask.
     """
 
-    AUTO_CHUNK_THRESHOLD = 8192  # prototypes above this -> tiled impls
+    AUTO_CHUNK_THRESHOLD = 8192  # prototypes at/above this -> tiled impls
 
     def __init__(self, concentration=10.0, group_mode='segsort+',
                  reduction='mean', chunk=None, impl='auto',
@@ -190,10 +190,8 @@ class SegSortLoss:
             import jax
             on_tpu = jax.default_backend() == 'tpu'
             n_protos = prototypes.shape[0]
-            if self.chunk or n_protos > self.AUTO_CHUNK_THRESHOLD:
+            if self.chunk or n_protos >= self.AUTO_CHUNK_THRESHOLD:
                 impl = 'pallas' if on_tpu else 'chunked'
-            elif on_tpu and n_protos >= self.AUTO_CHUNK_THRESHOLD:
-                impl = 'pallas'
             else:
                 impl = 'dense'
         if impl == 'pallas':

@@ -138,3 +138,76 @@ def compute_canvas_tta(embed_fn, cluster_fn, image_np, rh, rw, config,
     out = cluster_fn(avg[None], jnp.asarray(fake)[None],
                      jnp.asarray(fake)[None])
     return avg, out
+
+
+def filter_existing(todo, artifact_paths, tag='skip_existing'):
+    """Drops items whose outputs ALL already exist and load cleanly.
+
+    `artifact_paths(idx)` returns every output of an item as
+    `(path, loader)` pairs, where `loader(path)` raises on a write that a
+    killed run truncated. An item counts as done only if EVERY artifact
+    validates — writes happen in order, so checking just the first-written
+    one (the old prototype.py behavior) would permanently skip items whose
+    later artifacts were cut off mid-write.
+    """
+    def _done(idx):
+        import os as _os
+        for path, loader in artifact_paths(idx):
+            if not _os.path.exists(path):
+                return False
+            try:
+                loader(path)
+            except Exception:
+                return False
+        return True
+
+    kept = [i for i in todo if not _done(i)]
+    print(f'{tag}: {len(todo) - len(kept)}/{len(todo)} already done',
+          flush=True)
+    return kept
+
+
+def eval_image_loop(dataset, todo, process_fn, tag, backlog=8):
+    """Prefetch/write scaffolding shared by prototype.py and inference.py.
+
+    Per item: the NEXT image decodes on a worker thread while the device
+    computes, and host writes ride the same pool behind a bounded backlog
+    (the reference's loop serializes decode, compute, and PNG encode —
+    inference.py:111-252). `process_fn(pos, idx, inputs, labels, submit)`
+    does the device work and calls `submit(write_fn, *args)` for its host
+    writes. Returns `{'wall_s', 'host_load_s', 'device_s', 'images'}`.
+    """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    timings = {'host_load_s': 0.0, 'device_s': 0.0,
+               'images': len(todo), 'wall_s': 0.0}
+    if not todo:
+        return timings
+    pool = ThreadPoolExecutor(max_workers=2)
+    write_futures = []
+
+    def submit(fn, *fn_args):
+        write_futures.append(pool.submit(fn, *fn_args))
+        if len(write_futures) > backlog:
+            write_futures.pop(0).result()
+
+    t_start = time.perf_counter()
+    prefetch = pool.submit(dataset.__getitem__, todo[0])
+    for pos, idx in enumerate(todo):
+        t0 = time.perf_counter()
+        inputs, labels, _ = prefetch.result()
+        if pos + 1 < len(todo):
+            prefetch = pool.submit(dataset.__getitem__, todo[pos + 1])
+        t1 = time.perf_counter()
+        process_fn(pos, idx, inputs, labels, submit)
+        t2 = time.perf_counter()
+        timings['host_load_s'] += t1 - t0
+        timings['device_s'] += t2 - t1
+        if (pos + 1) % 50 == 0 or pos == len(todo) - 1:
+            print(f'[{pos + 1}/{len(todo)}] {tag}', flush=True)
+    for f in write_futures:
+        f.result()
+    pool.shutdown()
+    timings['wall_s'] = time.perf_counter() - t_start
+    return timings

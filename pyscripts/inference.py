@@ -82,28 +82,19 @@ def main():
         n = min(n, args.num_images)
     todo = list(range(n))
     if args.skip_existing:
-        def _done(i):
-            base = os.path.basename(dataset.image_paths[i])
-            base = os.path.splitext(base)[0] + '.png'
-            path = os.path.join(semantic_rgb_dir, base)
-            if not os.path.exists(path):
-                return False
-            try:  # guard against a write truncated by a killed run
-                Image.open(path).load()
-                return True
-            except Exception:
-                return False
-        todo = [i for i in todo if not _done(i)]
-        print(f'skip_existing: {n - len(todo)}/{n} already done',
-              flush=True)
+        def _load_png(p):
+            Image.open(p).load()
 
-    # Host IO rides worker threads so decode (next image) and PNG
-    # encode/write (previous image) overlap device compute — the
-    # reference's loop serializes all three (inference.py:111-252).
+        def artifact_paths(i):
+            base = os.path.basename(dataset.image_paths[i])
+            stem = os.path.splitext(base)[0]
+            return [(os.path.join(semantic_dir, stem + '.png'), _load_png),
+                    (os.path.join(semantic_rgb_dir, stem + '.png'),
+                     _load_png)]
+
+        todo = eval_common.filter_existing(todo, artifact_paths)
+
     import json
-    import time
-    from concurrent.futures import ThreadPoolExecutor
-    pool = ThreadPoolExecutor(max_workers=2)
 
     def save_pred(pred, orig_w, orig_h, base):
         pred = transforms._resize(pred, orig_w, orig_h, nearest=True)
@@ -112,22 +103,13 @@ def main():
         Image.fromarray(vis.convert_label_to_color(pred, color_map)).save(
             os.path.join(semantic_rgb_dir, base))
 
-    timings = {'host_load_s': 0.0, 'device_s': 0.0, 'host_write_s': 0.0}
-    t_start = time.perf_counter()
-    write_futures = []
-    prefetch = pool.submit(dataset.__getitem__, todo[0]) if todo else None
-    for pos, idx in enumerate(todo):
-        t0 = time.perf_counter()
-        inputs, labels, _ = prefetch.result()
-        if pos + 1 < len(todo):
-            prefetch = pool.submit(dataset.__getitem__, todo[pos + 1])
+    def process(pos, idx, inputs, labels, submit):
         orig_h, orig_w = inputs['image'].shape[:2]
         base = os.path.basename(dataset.image_paths[idx])
         base = os.path.splitext(base)[0] + '.png'
 
         image_np, _, (rh, rw) = eval_common.preprocess_image(
             inputs['image'], None, None, config)
-        t1 = time.perf_counter()
         scales = [s for s in config.test.get('scales', (0,)) if s]
         use_flip = bool(config.test.get('flip', False))
         if scales and (scales != [1.0] or use_flip):
@@ -142,26 +124,16 @@ def main():
         pred = retrieve(out['cluster_embedding'][0], out['cluster_index'][0],
                         out['pixel_valid'][0], out['segment_valid'][0])
         pred = np.asarray(pred).reshape(h, w)[:rh, :rw].astype(np.uint8)
-        t2 = time.perf_counter()
-        write_futures.append(pool.submit(save_pred, pred, orig_w, orig_h,
-                                         base))
-        if len(write_futures) > 8:
-            write_futures.pop(0).result()
-        t3 = time.perf_counter()
-        timings['host_load_s'] += t1 - t0
-        timings['device_s'] += t2 - t1
-        timings['host_write_s'] += t3 - t2
-        if (pos + 1) % 50 == 0 or pos == len(todo) - 1:
-            print(f'[{pos + 1}/{len(todo)}] predictions saved', flush=True)
-    for f in write_futures:
-        f.result()
-    pool.shutdown()
-    wall = time.perf_counter() - t_start
+        submit(save_pred, pred, orig_w, orig_h, base)
+
+    t = eval_common.eval_image_loop(dataset, todo, process,
+                                    'predictions saved')
     if todo:
         print(json.dumps({
-            'images': len(todo), 'wall_s': round(wall, 1),
-            'img_per_s': round(len(todo) / wall, 2),
-            **{k: round(v, 1) for k, v in timings.items()},
+            'images': t['images'], 'wall_s': round(t['wall_s'], 1),
+            'img_per_s': round(t['images'] / t['wall_s'], 2),
+            'host_load_s': round(t['host_load_s'], 1),
+            'device_s': round(t['device_s'], 1),
         }), flush=True)
 
 

@@ -61,27 +61,21 @@ def main():
         n = min(n, args.num_images)
     todo = list(range(n))
     if args.skip_existing:
-        def _done(idx):
-            base = os.path.basename(dataset.image_paths[idx])
-            path = os.path.join(
-                prototype_dir, os.path.splitext(base)[0] + '.npy')
-            if not os.path.exists(path):
-                return False
-            try:  # guard against a write truncated by a killed run
-                np.load(path, allow_pickle=True)
-                return True
-            except Exception:
-                return False
-        todo = [i for i in todo if not _done(i)]
-        print(f'skip_existing: {n - len(todo)}/{n} already done',
-              flush=True)
-    import time
-    from concurrent.futures import ThreadPoolExecutor
+        def _load_npy(p):
+            np.load(p, allow_pickle=True)
 
-    # Host IO rides worker threads so decode (next image) and the three
-    # per-image writes (npy bank + uint16 cluster PNG + colorized PNG —
-    # ~1 s of PNG encode at 1024x2048) overlap device compute.
-    pool = ThreadPoolExecutor(max_workers=2)
+        def _load_png(p):
+            Image.open(p).load()
+
+        def artifact_paths(idx):
+            base = os.path.basename(dataset.image_paths[idx])
+            stem = os.path.splitext(base)[0]
+            return [(os.path.join(prototype_dir, stem + '.npy'), _load_npy),
+                    (os.path.join(cluster_dir, stem + '.png'), _load_png),
+                    (os.path.join(cluster_rgb_dir, stem + '.png'),
+                     _load_png)]
+
+        todo = eval_common.filter_existing(todo, artifact_paths)
 
     def save_outputs(base, protos_np, majority_np, num_segments,
                      cluster_index):
@@ -95,13 +89,7 @@ def main():
                                        color_map)).save(
             os.path.join(cluster_rgb_dir, base))
 
-    write_futures = []
-    t_start = time.perf_counter()
-    prefetch = pool.submit(dataset.__getitem__, todo[0]) if todo else None
-    for pos, idx in enumerate(todo):
-        inputs, labels, _ = prefetch.result()
-        if pos + 1 < len(todo):
-            prefetch = pool.submit(dataset.__getitem__, todo[pos + 1])
+    def process(pos, idx, inputs, labels, submit):
         base = os.path.basename(dataset.image_paths[idx])
         base = os.path.splitext(base)[0] + '.png'
 
@@ -134,20 +122,14 @@ def main():
 
         cluster_index = np.asarray(
             out['cluster_index'][0]).reshape(h, w)[:rh, :rw]
-        write_futures.append(pool.submit(
-            save_outputs, base, np.asarray(protos), np.asarray(majority),
-            num_segments, cluster_index))
-        if len(write_futures) > 8:
-            write_futures.pop(0).result()
-        if (pos + 1) % 50 == 0 or pos == len(todo) - 1:
-            print(f'[{pos + 1}/{len(todo)}] prototypes saved', flush=True)
-    for f in write_futures:
-        f.result()
-    pool.shutdown()
+        submit(save_outputs, base, np.asarray(protos), np.asarray(majority),
+               num_segments, cluster_index)
+
+    t = eval_common.eval_image_loop(dataset, todo, process,
+                                    'prototypes saved')
     if todo:
-        wall = time.perf_counter() - t_start
-        print(f'prototype: {len(todo)} images in {wall:.1f}s '
-              f'({len(todo) / wall:.2f} img/s)', flush=True)
+        print(f'prototype: {t["images"]} images in {t["wall_s"]:.1f}s '
+              f'({t["images"] / t["wall_s"]:.2f} img/s)', flush=True)
 
 
 if __name__ == '__main__':

@@ -440,6 +440,14 @@ def main():
     # from the cheap scalar logs (0/absent = every tensorboard_step,
     # the reference's coupling, train.py:272-308).
     panel = config.train.get('panel_step', 0) or tb
+    # Panels are emitted inside the scalar-log block, so their cadence
+    # must be a multiple of tensorboard_step (otherwise off-multiple
+    # panel iterations would silently never fire); round up and say so.
+    if panel % tb:
+        rounded = ((panel + tb - 1) // tb) * tb
+        print(f'panel_step {panel} is not a multiple of tensorboard_step '
+              f'{tb}; rounding up to {rounded}', flush=True)
+        panel = rounded
     snap = config.train.snapshot_step
 
     def _chain_len(i):

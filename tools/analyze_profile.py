@@ -85,9 +85,8 @@ def main():
         for plane, line, name, dur_ps in device_events(space):
             key = (plane, line)
             plane_lines[key] += dur_ps
-            if 'XLA Ops' in line or 'Ops' in line or True:
-                per_op[(line, name)] += dur_ps
-                per_op_n[(line, name)] += 1
+            per_op[(line, name)] += dur_ps
+            per_op_n[(line, name)] += 1
 
     print('== device planes/lines (total event time, ms) ==')
     for (plane, line), ps in plane_lines.most_common(12):

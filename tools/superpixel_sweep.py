@@ -93,9 +93,6 @@ def superpixel_variants(root, n_train, max_segments=48, wanted=None):
             np.float32) / 255.0
         sem = np.asarray(Image.open(
             os.path.join(root, 'train/segcls', name + '.png')), np.int32)
-        gt_sp = cap_class_aligned(np.asarray(Image.open(
-            os.path.join(root, 'train/superpixel', name + '.png')),
-            np.int32), sem, max_segments)
         h, w = img.shape[:2]
         gy = np.minimum(np.arange(h) * 7 // h, 6)
         gx = np.minimum(np.arange(w) * 7 // w, 6)
@@ -103,7 +100,11 @@ def superpixel_variants(root, n_train, max_segments=48, wanted=None):
             out['grid'].append(
                 (gy[:, None] * 7 + gx[None, :]).astype(np.int32))
         if 'gt' in out:
-            out['gt'].append(gt_sp)
+            # The oracle capping merge loop is expensive; only pay for it
+            # when the gt variant was actually requested.
+            out['gt'].append(cap_class_aligned(np.asarray(Image.open(
+                os.path.join(root, 'train/superpixel', name + '.png')),
+                np.int32), sem, max_segments))
         if 'local' in out:
             out['local'].append(generate(img, max_segments,
                                          globalize=False))
