@@ -35,12 +35,13 @@ class EmbeddingHead(nn.Module):
     """conv1x1(2048) -> BN -> ReLU -> conv1x1(embedding_dim)."""
     embedding_dim: int = 128
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(2048, (1, 1), use_bias=False, dtype=self.dtype,
+        x = nn.Conv(2048, (1, 1), use_bias=self.fold_bn, dtype=self.dtype,
                     kernel_init=conv_init, name='conv_out_0')(x)
-        x = BatchNorm(name='conv_out_bn')(x, train)
+        x = BatchNorm(name='conv_out_bn', fold=self.fold_bn)(x, train)
         x = nn.relu(x)
         x = nn.Conv(self.embedding_dim, (1, 1), use_bias=True,
                     dtype=self.dtype, kernel_init=conv_init,
@@ -65,14 +66,15 @@ class ResnetFcn(nn.Module):
     max_segments: int = 128
     remat: bool = False
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     def setup(self):
         self.resnet_backbone = ResNetBackbone(
             tuple(self.backbone_depth), tuple(self.strides),
             tuple(self.dilations), remat=self.remat, dtype=self.dtype,
-            name='resnet_backbone')
+            fold_bn=self.fold_bn, name='resnet_backbone')
         self.conv_out = EmbeddingHead(self.embedding_dim, dtype=self.dtype,
-                                      name='conv_out')
+                                      fold_bn=self.fold_bn, name='conv_out')
         self.lfn = LocationColorNetwork(use_color=False, use_location=True,
                                         norm_color=False, smooth_ksize=None)
 

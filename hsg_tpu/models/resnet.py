@@ -29,13 +29,21 @@ conv_init = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm with float32 stats/params regardless of compute dtype."""
+    """BatchNorm with float32 stats/params regardless of compute dtype.
+
+    `fold=True` makes the module an identity with no parameters: the
+    inference-time affine (running stats) is assumed pre-folded into the
+    preceding conv's kernel/bias by `hsg_tpu.models.fold.fold_batchnorm`.
+    """
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.fold:
+            return x
         orig_dtype = x.dtype
         y = nn.BatchNorm(
             use_running_average=not train,
@@ -54,30 +62,32 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     use_projection: bool = False
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        fold = self.fold_bn
         residual = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+        y = nn.Conv(self.planes, (1, 1), use_bias=fold, dtype=self.dtype,
                     kernel_init=conv_init, name='conv1')(x)
-        y = BatchNorm(name='bn1')(y, train)
+        y = BatchNorm(name='bn1', fold=fold)(y, train)
         y = nn.relu(y)
         d = self.dilation
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     padding=((d, d), (d, d)), kernel_dilation=(d, d),
-                    use_bias=False, dtype=self.dtype,
+                    use_bias=fold, dtype=self.dtype,
                     kernel_init=conv_init, name='conv2')(y)
-        y = BatchNorm(name='bn2')(y, train)
+        y = BatchNorm(name='bn2', fold=fold)(y, train)
         y = nn.relu(y)
-        y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
+        y = nn.Conv(self.planes * 4, (1, 1), use_bias=fold, dtype=self.dtype,
                     kernel_init=conv_init, name='conv3')(y)
-        y = BatchNorm(name='bn3')(y, train)
+        y = BatchNorm(name='bn3', fold=fold)(y, train)
         if self.use_projection:
             residual = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype,
+                               use_bias=fold, dtype=self.dtype,
                                kernel_init=conv_init, name='proj_conv')(x)
-            residual = BatchNorm(name='proj_bn')(residual, train)
+            residual = BatchNorm(name='proj_bn', fold=fold)(residual, train)
         return nn.relu(y + residual)
 
 
@@ -106,13 +116,14 @@ class ResNetBackbone(nn.Module):
     dilations: Sequence[int] = (1, 1, 1, 2)
     remat: bool = False
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype,
+                    use_bias=self.fold_bn, dtype=self.dtype,
                     kernel_init=conv_init, name='conv1')(x)
-        x = BatchNorm(name='bn1')(x, train)
+        x = BatchNorm(name='bn1', fold=self.fold_bn)(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -129,6 +140,7 @@ class ResNetBackbone(nn.Module):
                 x = block_cls(
                     planes[stage], stride=stride, dilation=dils[i],
                     use_projection=(i == 0), dtype=self.dtype,
+                    fold_bn=self.fold_bn,
                     name=f'res{stage + 2}_{i}')(x, train)
             feats.append(x)
         return tuple(feats)
