@@ -32,7 +32,13 @@ def main():
     extra = [(('--platforms',),
               dict(type=str, default=None,
                    help='comma list of lowering platforms, e.g. tpu,cpu '
-                        '(default: current backend only)'))]
+                        '(default: current backend only)')),
+             (('--no_fold_bn',),
+              dict(action='store_true',
+                   help='skip folding BatchNorm running stats into conv '
+                        'kernels before export (fold is exact math; it '
+                        'shrinks the artifact, not TPU step time — XLA '
+                        'already fuses eval-mode BN)'))]
     args, config = parse_args('Export a standalone serving artifact.',
                               extra_args=extra)
 
@@ -49,6 +55,21 @@ def main():
     step = ckpt_lib.latest_step(args.snapshot_dir)
     assert step is not None, f'no checkpoint in {args.snapshot_dir}'
     variables = ckpt_lib.restore_variables(args.snapshot_dir, step)
+    ch, cw = (int(s) for s in config.test.crop_size)
+    if not args.no_fold_bn:
+        from hsg_tpu.models import fold as fold_lib
+        # The snapshot may hold a richer train model (HSG transformer
+        # heads) than the plain-FCN eval architecture; prune to the eval
+        # model's structure before folding — the transformer BN1d layers
+        # are not foldable and are not part of this model anyway.
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, ch, cw, 3), jnp.float32),
+                               None, None, train=False))
+        template = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), template)
+        variables = ckpt_lib.partial_overlay(template, variables)
+        model, variables = fold_lib.fold_inference(model, variables)
 
     assert args.semantic_memory_dir, '--semantic_memory_dir required'
     memory, memory_labels = memory_bank.load_memory_banks(
@@ -59,7 +80,6 @@ def main():
     os.makedirs(args.save_dir, exist_ok=True)
     fn = export_lib.make_serving_fn(model, variables, memory, memory_labels,
                                     config)
-    ch, cw = (int(s) for s in config.test.crop_size)
     example = (jnp.zeros((ch, cw, 3), jnp.float32),
                jnp.int32(ch), jnp.int32(cw))
     platforms = tuple(args.platforms.split(',')) if args.platforms else None
@@ -79,7 +99,8 @@ def main():
     size_mb = os.path.getsize(artifact) / 2**20
     print(f'exported {artifact} ({size_mb:.1f} MiB, '
           f'{meta["memory_prototypes"]} memory prototypes, '
-          f'platforms={platforms or "current"}); self-check OK')
+          f'platforms={platforms or "current"}, '
+          f'fold_bn={not args.no_fold_bn}); self-check OK')
 
 
 if __name__ == '__main__':

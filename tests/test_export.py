@@ -85,6 +85,33 @@ def test_export_multiplatform(tmp_path):
     assert got.shape == (32, 32) and got.dtype == np.uint8
 
 
+@pytest.mark.slow
+def test_export_folded_matches_unfolded(tmp_path):
+    """A BN-folded export (pyscripts/export.py default) labels pixels
+    identically to the unfolded pipeline — the fold is exact math
+    (models/fold.py), and retrieval majority labels are robust to the
+    fp rounding shift the re-rounded kernels introduce."""
+    from hsg_tpu.models import fold as fold_lib
+
+    cfg, model, variables, memory, memory_labels = _tiny_setup()
+    fn = export_lib.make_serving_fn(model, variables, memory, memory_labels,
+                                    cfg)
+    fmodel, fvars = fold_lib.fold_inference(model, variables)
+    ffn = export_lib.make_serving_fn(fmodel, fvars, memory, memory_labels,
+                                     cfg)
+    artifact = str(tmp_path / 'serving_folded.bin')
+    example = (jnp.zeros((32, 32, 3), jnp.float32), jnp.int32(32),
+               jnp.int32(32))
+    export_lib.export_serving(ffn, example, artifact)
+
+    rng = np.random.default_rng(3)
+    image = jnp.asarray(rng.normal(size=(32, 32, 3)), jnp.float32)
+    vh, vw = jnp.int32(24), jnp.int32(28)
+    want = np.asarray(jax.jit(fn)(image, vh, vw))
+    got = np.asarray(export_lib.load_serving(artifact)(image, vh, vw))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_export_sidecar(tmp_path):
     cfg, _, _, memory, _ = _tiny_setup()
     meta = export_lib.write_sidecar(str(tmp_path / 'serving.json'), cfg,
