@@ -11,18 +11,46 @@ from __future__ import annotations
 import numpy as np
 
 
-def make_embed_fn(model, variables):
+def make_embed_fn(model, variables, mesh=None):
     """Jitted `[N, ch, cw, 3] -> [N, ch, cw, C]` window embedder
-    (resize_as_input upsampling inside, unnormalized)."""
+    (resize_as_input upsampling inside, unnormalized).
+
+    With `mesh` (a 1-D `('data',)` device mesh), the window batch is
+    sharded across the mesh — sliding-window eval windows are
+    embarrassingly parallel, so val-set inference scales linearly over
+    ICI with zero collectives (each window's eval-mode forward reads
+    only replicated params/running stats). The batch is padded to a
+    multiple of the mesh size inside and sliced back, so callers see the
+    single-device contract unchanged.
+    """
     import jax
 
-    @jax.jit
-    def fn(images):
+    def raw(images):
         out = model.apply(
             variables, images,
             method=lambda m, x: m.generate_embeddings(
                 x, resize_as_input=True, train=False))
         return out['embedding']
+
+    if mesh is None:
+        return jax.jit(raw)
+
+    from hsg_tpu.parallel import mesh as mesh_lib
+
+    variables = jax.device_put(variables, mesh_lib.replicated(mesh))
+    sharded = jax.jit(raw, in_shardings=mesh_lib.batch_sharding(mesh),
+                      out_shardings=mesh_lib.batch_sharding(mesh))
+    span = mesh.size
+
+    def fn(images):
+        import jax.numpy as jnp
+        n = images.shape[0]
+        pad = (-n) % span
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.zeros((pad,) + images.shape[1:],
+                                   images.dtype)], axis=0)
+        return sharded(images)[:n]
 
     return fn
 

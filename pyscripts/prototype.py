@@ -53,7 +53,14 @@ def main():
     step = ckpt_lib.latest_step(args.snapshot_dir)
     assert step is not None, f'no checkpoint in {args.snapshot_dir}'
     variables = ckpt_lib.restore_variables(args.snapshot_dir, step)
-    embed_fn = eval_common.make_embed_fn(model, variables)
+    # Shard the window batch over all local devices (linear val-set
+    # scaling over ICI; no-op on one chip — see eval_common.make_embed_fn).
+    eval_mesh = None
+    if len(jax.devices()) > 1:
+        from hsg_tpu.parallel import mesh as mesh_lib
+        eval_mesh = mesh_lib.create_mesh(len(jax.devices()))
+        print(f'eval: sharding windows over {eval_mesh.size} devices')
+    embed_fn = eval_common.make_embed_fn(model, variables, mesh=eval_mesh)
     cluster_fn = eval_common.make_cluster_fn(model, variables)
 
     n = len(dataset)
