@@ -59,6 +59,9 @@ def default_config() -> Config:
             # = 256, resnet_fcn_hsg.py:82).
             'max_segments_per_view': 128,
             'num_views': 2,
+            # Optional backbone block-depth override, e.g. [1, 1, 1, 1]
+            # for micro smoke-test models (None = the factory's depth).
+            'backbone_depth': None,
             # Compute dtype for the backbone ('bfloat16' or 'float32').
             'compute_dtype': 'float32',
         },

@@ -86,7 +86,10 @@ class ResnetFcn(nn.Module):
         Parity with resnet_fcn.py:58-88.
         """
         _, _, _, res5 = self.resnet_backbone(images, train)
-        emb = self.conv_out(res5, train).astype(jnp.float32)
+        # Clustering runs in >= float32 whatever the backbone compute dtype
+        # (bf16 backbones upcast here; float64 x64 parity runs stay f64).
+        emb = self.conv_out(res5, train)
+        emb = emb.astype(jnp.promote_types(jnp.float32, emb.dtype))
         if resize_as_input:
             emb = _bilinear_resize(emb, images.shape[1:3])
         local = self.lfn(images, size=emb.shape[1:3])
@@ -155,6 +158,9 @@ class ResnetFcn(nn.Module):
 
 def _build(depth, strides, dilations, config):
     net = config.network
+    # Optional depth override (no reference analog): lets smoke tests and
+    # micro configs run the full CLI surface with a shallow backbone.
+    depth = tuple(net.get('backbone_depth') or depth)
     return ResnetFcn(
         backbone_depth=depth, strides=strides, dilations=dilations,
         embedding_dim=net.embedding_dim,

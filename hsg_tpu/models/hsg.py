@@ -116,7 +116,10 @@ class MultiviewResnetFcn(ResnetFcn):
         """Adds the learned position embedding to the FCN outputs
         (resnet_fcn_hsg.py:93-128)."""
         _, _, _, res5 = self.resnet_backbone(images, train)
-        emb = self.conv_out(res5, train).astype(jnp.float32)
+        # Clustering runs in >= float32 whatever the backbone compute dtype
+        # (bf16 backbones upcast here; float64 x64 parity runs stay f64).
+        emb = self.conv_out(res5, train)
+        emb = emb.astype(jnp.promote_types(jnp.float32, emb.dtype))
         pos = self.pos_embed(res5)
         if resize_as_input:
             emb = _bilinear_resize(emb, images.shape[1:3])
@@ -245,6 +248,9 @@ class MultiviewResnetFcn(ResnetFcn):
 
 def _build_multiview(depth, strides, dilations, config):
     net = config.network
+    # Optional depth override (no reference analog): lets smoke tests and
+    # micro configs run the full CLI surface with a shallow backbone.
+    depth = tuple(net.get('backbone_depth') or depth)
     return MultiviewResnetFcn(
         backbone_depth=depth, strides=strides, dilations=dilations,
         embedding_dim=net.embedding_dim,

@@ -45,13 +45,17 @@ class BatchNorm(nn.Module):
         if self.fold:
             return x
         orig_dtype = x.dtype
+        # Stats/params are at least float32 so bf16 compute never degrades
+        # the BN moments; float64 inputs (x64 parity tests vs the torch
+        # reference) keep full double precision.
+        stat_dtype = jnp.promote_types(jnp.float32, orig_dtype)
         y = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+            dtype=stat_dtype,
+            param_dtype=stat_dtype,
+        )(x.astype(stat_dtype))
         return y.astype(orig_dtype)
 
 

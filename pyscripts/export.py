@@ -68,6 +68,18 @@ def main():
                                None, None, train=False))
         template = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), template)
+        # Hard-fail on any eval-model leaf the checkpoint didn't provide:
+        # partial_overlay only warns, and a silently zero-initialized conv
+        # would survive the artifact self-check below (which compares the
+        # artifact against the same broken fn).
+        from flax import traverse_util
+        eval_keys = set(traverse_util.flatten_dict(template))
+        ckpt_keys = set(traverse_util.flatten_dict(variables))
+        missing = eval_keys - ckpt_keys
+        assert not missing, (
+            'checkpoint is missing eval-model parameters (refusing to '
+            'export zero-initialized weights): '
+            + ', '.join(sorted('/'.join(map(str, p)) for p in missing)))
         variables = ckpt_lib.partial_overlay(template, variables)
         model, variables = fold_lib.fold_inference(model, variables)
 

@@ -55,10 +55,13 @@ def main():
     variables = ckpt_lib.restore_variables(args.snapshot_dir, step)
     # Shard the window batch over all local devices (linear val-set
     # scaling over ICI; no-op on one chip — see eval_common.make_embed_fn).
+    # Eval scripts are single-process: use local devices so a stray
+    # jax.distributed context can't hand us a multi-process global mesh
+    # that host-local numpy arrays couldn't feed.
     eval_mesh = None
-    if len(jax.devices()) > 1:
+    if len(jax.local_devices()) > 1 and jax.process_count() == 1:
         from hsg_tpu.parallel import mesh as mesh_lib
-        eval_mesh = mesh_lib.create_mesh(len(jax.devices()))
+        eval_mesh = mesh_lib.create_mesh(len(jax.local_devices()))
         print(f'eval: sharding windows over {eval_mesh.size} devices')
     embed_fn = eval_common.make_embed_fn(model, variables, mesh=eval_mesh)
     cluster_fn = eval_common.make_cluster_fn(model, variables)
