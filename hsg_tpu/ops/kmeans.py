@@ -49,9 +49,13 @@ def kmeans_with_initial_labels(embeddings: jnp.ndarray,
     def body(_, labels):
         protos = common.calculate_prototypes_from_labels(
             embeddings, labels, max_label, weights)
-        return common.find_nearest_prototypes(embeddings, protos)
+        # Pin the carry dtype: under x64 argmax yields int64, which would
+        # not round-trip an int32 initial carry through fori_loop.
+        return common.find_nearest_prototypes(
+            embeddings, protos).astype(jnp.int32)
 
-    labels = jax.lax.fori_loop(0, iterations, body, initial_labels)
+    labels = jax.lax.fori_loop(0, iterations, body,
+                               initial_labels.astype(jnp.int32))
     return jax.lax.stop_gradient(labels)
 
 
