@@ -55,6 +55,14 @@ def synthetic_batch(rows, hw, num_views, seed=0):
     (the reference's OWT-UCM PNGs enter training as instance labels)."""
     rng = np.random.default_rng(seed)
     image = rng.uniform(-2, 2, (rows, hw, hw, 3)).astype(np.float32)
+    # HSG_PAD_CHANNELS=8: zero-pad the input to N channels (model.init
+    # then builds a [7,7,N,64] stem kernel) — the conv-friendly channel
+    # padding A/B (docs/ROADMAP.md perf backlog). Zeros keep the math
+    # identical; only the stem conv's layout/tiling changes.
+    pad_c = int(os.environ.get('HSG_PAD_CHANNELS', 0))
+    if pad_c > 3:
+        image = np.concatenate(
+            [image, np.zeros((rows, hw, hw, pad_c - 3), np.float32)], -1)
     gy = (np.arange(hw) * 6 // hw)
     grid = (gy[:, None] * 6 + gy[None, :]).astype(np.int32)
     inst = np.broadcast_to(grid, (rows, hw, hw)).copy()
@@ -199,15 +207,63 @@ def run(stage, steps, profile_dir=None, emit=True):
     return out
 
 
+def measure_flops(stage):
+    """FLOPs/step of the stage's exact train step via XLA CPU cost
+    analysis (the TPU executable's own cost_analysis under-reports
+    convolutions ~10x — see docs/DESIGN.md baseline derivation). Run in
+    a separate process: forces the CPU platform. MFU then =
+    flops_per_step / step_time / 197e12 (v5e bf16 peak)."""
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    from hsg_tpu.config import default_config, update_config
+    from hsg_tpu.train import optimizer as opt_lib
+    from hsg_tpu.train import train_step as ts_lib
+    from pyscripts.common import (build_embedding_model,
+                                  build_prediction_model, head_multipliers)
+
+    yaml_path, rows, hw, seg_override = STAGES[stage]
+    config = update_config(default_config(), yaml_path)
+    if seg_override:
+        config.network.max_segments_per_view = seg_override
+    config.network.remat = False
+
+    embedding_model = build_embedding_model(config)
+    prediction_model = build_prediction_model(config)
+    batch = synthetic_batch(rows, hw, config.network.num_views)
+    hw_mult, hb_mult = head_multipliers(config)
+    state, update_fn = ts_lib.create_train_state(
+        embedding_model, jax.random.PRNGKey(0), batch,
+        head_weight_mult=hw_mult, head_bias_mult=hb_mult)
+    schedule = opt_lib.schedule_from_config(config)
+    step_fn = ts_lib.make_train_step(embedding_model, prediction_model,
+                                     schedule, update_fn)
+    compiled = jax.jit(step_fn).lower(
+        state, batch, jax.random.PRNGKey(1)).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca['flops'])
+    out = {'stage': stage, 'rows': rows,
+           'tflops_per_step': round(flops / 1e12, 3),
+           'gflops_per_view': round(flops / rows / 1e9, 2)}
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--stage', choices=list(STAGES) + ['all'], default='all')
     ap.add_argument('--steps', type=int, default=500)
     ap.add_argument('--profile_dir', default=None)
+    ap.add_argument('--flops', action='store_true',
+                    help='count FLOPs/step on CPU instead of timing')
     args = ap.parse_args()
     stages = list(STAGES) if args.stage == 'all' else [args.stage]
     for s in stages:
-        run(s, args.steps, args.profile_dir)
+        if args.flops:
+            measure_flops(s)
+        else:
+            run(s, args.steps, args.profile_dir)
 
 
 if __name__ == '__main__':
