@@ -139,8 +139,15 @@ def main():
     t = eval_common.eval_image_loop(dataset, todo, process,
                                     'prototypes saved')
     if todo:
+        import json
         print(f'prototype: {t["images"]} images in {t["wall_s"]:.1f}s '
               f'({t["images"] / t["wall_s"]:.2f} img/s)', flush=True)
+        print(json.dumps({
+            'images': t['images'], 'wall_s': round(t['wall_s'], 1),
+            'img_per_s': round(t['images'] / t['wall_s'], 2),
+            'host_load_s': round(t['host_load_s'], 1),
+            'device_s': round(t['device_s'], 1),
+        }), flush=True)
 
 
 if __name__ == '__main__':
