@@ -448,6 +448,72 @@ def test_forward_partitions_match_reference(forward_pair):
                 ours[name][i][our_valid[i]][match], name)
 
 
+def _assemble_ref_targets(forward_pair):
+    """Replicates the reference trainer's target assembly
+    (pyscripts/train/train.py:169-268) on the fixture's forward outputs:
+    global prototype gather + re-index, hierarchy mapping tables,
+    centroid gathers. Returns (ref_out, label_batch) ready for a
+    prediction head."""
+    ref_out = dict(forward_pair['ref_out_torch'])
+    label_batch = dict(forward_pair['targets_torch'])
+    dev = torch.device('cpu', 0)
+
+    image_indices = ref_model_utils.gather_and_reorder_image_indices(
+        [label_batch['image_index']], dev)
+    label_batch['image_index'] = image_indices[0]
+
+    (protos, protos_loc, proto_sem, proto_inst, proto_batch,
+     c_inds) = ref_model_utils.gather_clustering_and_update_prototypes(
+        [ref_out['cluster_embedding']],
+        [ref_out['cluster_embedding_with_loc']],
+        [ref_out['cluster_index']],
+        [ref_out['cluster_batch_index']],
+        [ref_out['cluster_semantic_label']],
+        [ref_out['cluster_instance_label']], dev)
+    label_batch.update(prototype=protos[0],
+                       prototype_with_loc=protos_loc[0],
+                       prototype_semantic_label=proto_sem[0],
+                       prototype_instance_label=proto_inst[0],
+                       prototype_batch_index=proto_batch[0])
+    ref_out['cluster_index'] = c_inds[0]
+
+    for name in ('finehrchy', 'coarsehrchy'):
+        inds = torch.gather(label_batch['image_index'], 0,
+                            ref_out['cluster_batch_index'])
+        zeros = torch.zeros_like(ref_out[name + '_cluster_index'])
+        _, _, _, _, _, hier_inds = (
+            ref_model_utils.gather_clustering_and_update_prototypes(
+                [ref_out['cluster_embedding']],
+                [ref_out['cluster_embedding_with_loc']],
+                [ref_out[name + '_cluster_index']], [inds],
+                [zeros], [zeros], dev))
+        ref_out[name + '_cluster_index'] = hier_inds[0]
+        maps = ref_model_utils.gather_and_update_cluster_mappings(
+            [ref_out['cluster_index']],
+            [ref_out[name + '_cluster_index']], dev)
+        label_batch[name + '_mapping_index'] = maps[0]
+
+    for key in ('finehrchy_nd_prototype_grouping_centroid',
+                'coarsehrchy_nd_prototype_grouping_centroid'):
+        vals = ref_model_utils.gather_and_update_datas(
+            [ref_out[key].clone()], dev)
+        label_batch[key] = vals[0]
+    return ref_out, label_batch
+
+
+def _assert_loss_parity(ref_losses, our_losses):
+    for key in ('img_sim_loss', 'hrchy_group_loss', 'clustering_loss',
+                'accuracy'):
+        ref_v = float(ref_losses[key])
+        our_v = float(np.asarray(our_losses[key]))
+        # Our loss pipeline intentionally computes in float32 (TPU
+        # production dtype; e.g. SegSortLoss nca_dtype), so the agreement
+        # floor is f32 rounding of an equal value, not f64.
+        np.testing.assert_allclose(
+            our_v, ref_v, rtol=5e-6, atol=1e-7,
+            err_msg=f'{key}: ref {ref_v} vs ours {our_v}')
+
+
 @pytest.mark.slow
 def test_losses_match_reference(forward_pair):
     """All loss terms vs the reference's Hsg head, with the reference's
@@ -456,50 +522,7 @@ def test_losses_match_reference(forward_pair):
         from hsg.models.predictions.hsg import hsg as ref_hsg_pred
 
         ref_cfg = forward_pair['ref_cfg']
-        ref_out = dict(forward_pair['ref_out_torch'])
-        label_batch = dict(forward_pair['targets_torch'])
-        dev = torch.device('cpu', 0)
-
-        image_indices = ref_model_utils.gather_and_reorder_image_indices(
-            [label_batch['image_index']], dev)
-        label_batch['image_index'] = image_indices[0]
-
-        (protos, protos_loc, proto_sem, proto_inst, proto_batch,
-         c_inds) = ref_model_utils.gather_clustering_and_update_prototypes(
-            [ref_out['cluster_embedding']],
-            [ref_out['cluster_embedding_with_loc']],
-            [ref_out['cluster_index']],
-            [ref_out['cluster_batch_index']],
-            [ref_out['cluster_semantic_label']],
-            [ref_out['cluster_instance_label']], dev)
-        label_batch.update(prototype=protos[0],
-                           prototype_with_loc=protos_loc[0],
-                           prototype_semantic_label=proto_sem[0],
-                           prototype_instance_label=proto_inst[0],
-                           prototype_batch_index=proto_batch[0])
-        ref_out['cluster_index'] = c_inds[0]
-
-        for name in ('finehrchy', 'coarsehrchy'):
-            inds = torch.gather(label_batch['image_index'], 0,
-                                ref_out['cluster_batch_index'])
-            zeros = torch.zeros_like(ref_out[name + '_cluster_index'])
-            _, _, _, _, _, hier_inds = (
-                ref_model_utils.gather_clustering_and_update_prototypes(
-                    [ref_out['cluster_embedding']],
-                    [ref_out['cluster_embedding_with_loc']],
-                    [ref_out[name + '_cluster_index']], [inds],
-                    [zeros], [zeros], dev))
-            ref_out[name + '_cluster_index'] = hier_inds[0]
-            maps = ref_model_utils.gather_and_update_cluster_mappings(
-                [ref_out['cluster_index']],
-                [ref_out[name + '_cluster_index']], dev)
-            label_batch[name + '_mapping_index'] = maps[0]
-
-        for key in ('finehrchy_nd_prototype_grouping_centroid',
-                    'coarsehrchy_nd_prototype_grouping_centroid'):
-            vals = ref_model_utils.gather_and_update_datas(
-                [ref_out[key].clone()], dev)
-            label_batch[key] = vals[0]
+        ref_out, label_batch = _assemble_ref_targets(forward_pair)
 
         ref_pred = ref_hsg_pred(ref_cfg).double()
         with torch.no_grad():
@@ -512,14 +535,33 @@ def test_losses_match_reference(forward_pair):
         our_losses = our_pred(
             forward_pair['ours'], {'image_index': jnp.asarray(image_index)},
             with_loss=True)
+        _assert_loss_parity(ref_losses, our_losses)
 
-        for key in ('img_sim_loss', 'hrchy_group_loss', 'clustering_loss',
-                    'accuracy'):
-            ref_v = float(ref_losses[key])
-            our_v = float(np.asarray(our_losses[key]))
-            # Our loss pipeline intentionally computes in float32
-            # (TPU production dtype; e.g. SegSortLoss nca_dtype), so the
-            # agreement floor is f32 rounding of an equal value, not f64.
-            np.testing.assert_allclose(
-                our_v, ref_v, rtol=5e-6, atol=1e-7,
-                err_msg=f'{key}: ref {ref_v} vs ours {our_v}')
+
+@pytest.mark.slow
+def test_losses_match_reference_hsg_cs(forward_pair):
+    """The HsgCs prediction variant (reference predictions/hsg_cs.py:
+    DMoN without the per-view K-NN group restriction — its only diff vs
+    hsg.py is dropping `nd_prototype_batch_index`) against our
+    `variant='cs'` head, on the SAME transplanted forward outputs.
+
+    The embedding-side `_cs` difference (dynamic max_num_clusters,
+    resnet_fcn_hsg_cs.py:499-502) is a padding-size choice, invariant to
+    loss values, so reusing the fixed-pad forward isolates exactly the
+    loss-semantics diff."""
+    from hsg.models.predictions.hsg_cs import hsg_cs as ref_cs_pred
+
+    ref_cfg = forward_pair['ref_cfg']
+    ref_out, label_batch = _assemble_ref_targets(forward_pair)
+
+    ref_pred = ref_cs_pred(ref_cfg).double()
+    with torch.no_grad():
+        ref_losses = ref_pred(ref_out, label_batch, with_loss=True)
+
+    from hsg_tpu.models import predictions as pred_lib
+    our_pred = pred_lib.hsg_cs(_our_config())
+    _, _, _, image_index = forward_pair['batch']
+    our_losses = our_pred(
+        forward_pair['ours'], {'image_index': jnp.asarray(image_index)},
+        with_loss=True)
+    _assert_loss_parity(ref_losses, our_losses)
