@@ -45,11 +45,58 @@ def maybe_initialize_distributed() -> bool:
             coordinator_address=addr,
             num_processes=int(os.environ['JAX_NUM_PROCESSES']),
             process_id=int(os.environ['JAX_PROCESS_ID']))
+        _warmup_cross_process_sync()
         return True
     if os.environ.get('HSG_TPU_MULTIHOST'):
         jax.distributed.initialize()   # autodetected environment
+        _warmup_cross_process_sync()
         return True
     return jax.process_count() > 1
+
+
+def _warmup_cross_process_sync() -> None:
+    """Eagerly create the cross-process barrier/allgather context.
+
+    `multihost_utils.sync_global_devices` (used by orbax on every
+    checkpoint save) lazily builds its own collective context on first
+    use, and on the CPU/gloo backend that rendezvous has a hard ~30 s
+    window ("Gloo context initialization failed: DEADLINE_EXCEEDED:
+    GetKeyValue() timed out"). If the first save happens when ranks are
+    skewed — e.g. one rank still compiling on a loaded host — the
+    window is missed and the save crashes. Running one sync here, right
+    after `jax.distributed.initialize` returned on every rank (so all
+    ranks are within milliseconds of each other), creates and caches
+    that context at the one point where the rendezvous cannot time out.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices('hsg_tpu:init')
+
+
+_BARRIER_SEQ = [0]
+
+
+def coordination_barrier(name: str, timeout_s: float = 1800.0) -> None:
+    """Rejoin all processes via the jax.distributed coordination service.
+
+    Unlike a device collective (psum / sync_global_devices), this rides
+    the coordinator's gRPC channel, so (a) it needs no compiled
+    executable and (b) its timeout is explicit and generous — it cannot
+    blow the short gloo/ICI rendezvous window when ranks are skewed by
+    minutes of compile time. Callers must invoke it from ALL processes
+    in the same order (barrier ids are sequence-numbered to keep reused
+    names unique, which the coordination service requires). No-op in
+    single-process runs.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is None:  # pragma: no cover - initialize() always sets it
+        return
+    _BARRIER_SEQ[0] += 1
+    client.wait_at_barrier(f'{name}:{_BARRIER_SEQ[0]}',
+                           timeout_in_ms=int(timeout_s * 1000))
 
 
 def local_batch_slice(global_batch_size: int) -> slice:

@@ -469,32 +469,57 @@ def main():
                     n = min(n, j - i + 1)
         return max(1, n)
 
+    _aligned_programs: set = set()
+
+    def dispatch(fn, *fargs):
+        """Run one jitted step program, aligning ranks before its FIRST
+        execution in multi-process mode.
+
+        XLA:CPU builds a fresh gloo communicator the first time each
+        compiled executable runs a collective, and that TCP rendezvous
+        has a short window no flag controls. Ranks can be minutes apart
+        at exactly that moment: compile time skews under host load, and
+        only the primary compiles the tensorboard-panel forwards. So:
+        AOT-compile (lower().compile() populates the jit cache), rejoin
+        all ranks over the coordination service (explicit 30-min
+        timeout), and only then execute. Single-process: plain call.
+        """
+        if jax.process_count() > 1 and id(fn) not in _aligned_programs:
+            _aligned_programs.add(id(fn))
+            fn.lower(*fargs).compile()
+            mesh_lib.coordination_barrier('hsg_tpu:first_dispatch')
+        return fn(*fargs)
+
     t0 = time.time()
     it = curr_iter
     while it < max_iter:
         if chain > 1:
             n = _chain_len(it)
             if bank is not None:
-                state, metrics, bank = chained_fn(n)(
-                    state, resident_data, rng, bank)
+                state, metrics, bank = dispatch(
+                    chained_fn(n), state, resident_data, rng, bank)
             else:
-                state, metrics = chained_fn(n)(state, resident_data, rng)
+                state, metrics = dispatch(chained_fn(n), state,
+                                          resident_data, rng)
             it = it + n - 1          # iteration the last metrics belong to
         elif resident:
             step_rng = jax.random.fold_in(rng, it)
             if bank is not None:
-                state, metrics, bank = step_fn(state, resident_data,
-                                               step_rng, bank)
+                state, metrics, bank = dispatch(step_fn, state,
+                                                resident_data, step_rng,
+                                                bank)
             else:
-                state, metrics = step_fn(state, resident_data, step_rng)
+                state, metrics = dispatch(step_fn, state, resident_data,
+                                          step_rng)
         else:
             step_rng = jax.random.fold_in(rng, it)
             sharded = mesh_lib.shard_batch(batch, mesh)
             if bank is not None:
-                state, metrics, bank = step_fn(state, sharded, step_rng,
-                                               bank)
+                state, metrics, bank = dispatch(step_fn, state, sharded,
+                                                step_rng, bank)
             else:
-                state, metrics = step_fn(state, sharded, step_rng)
+                state, metrics = dispatch(step_fn, state, sharded,
+                                          step_rng)
             # Overlap: prepare the next host batch while the device runs.
             batch = to_batch(next(loader))
 
@@ -517,16 +542,27 @@ def main():
                     _write_image_panels(writer, embedding_model, state,
                                         batch, config, it)
 
-        if (config.train.snapshot_step and is_primary
+        if (config.train.snapshot_step
                 and ((it + 1) % config.train.snapshot_step == 0
                      or it == max_iter - 1)):
+            # orbax save is a COLLECTIVE operation: every process must
+            # call it (it synchronizes internally and only the primary
+            # host writes data) — a primary-only call deadlocks or
+            # cross-talks with other ranks' syncs in multi-process runs.
             path = ckpt_lib.save_checkpoint(args.snapshot_dir, state)
-            print(f'snapshot -> {path}', flush=True)
+            if is_primary:
+                print(f'snapshot -> {path}', flush=True)
         it += 1
 
-    if not config.train.snapshot_step and is_primary:
+    if not config.train.snapshot_step:
         ckpt_lib.save_checkpoint(args.snapshot_dir, state)
     loader.close()
+    # Rejoin all ranks before process exit (no-op single-process). Only
+    # the primary writes tensorboard panels, so on a loaded host a
+    # non-primary rank can otherwise reach the interpreter-exit shutdown
+    # barrier minutes ahead of rank 0 and blow its short,
+    # non-configurable timeout.
+    mesh_lib.coordination_barrier('hsg_tpu:train_done')
     final_loss = float(metrics["loss"]) if max_iter > curr_iter else float("nan")
     print(f'done: {max_iter - curr_iter} steps, final loss '
           f'{final_loss:.4f}')
