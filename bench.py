@@ -78,7 +78,54 @@ def _peak_for(device) -> float | None:
     return None
 
 
+def _release_tpu():
+    """Stop a live training continuation so this bench can attach.
+
+    The tunneled TPU serves ONE client process at a time, and the
+    cross-round COCO continuation (recipes/coco_resume.sh, docs/DESIGN.md
+    "Full-recipe execution: COCO") may legitimately still be holding it
+    when the round-end bench starts. The recipe records its trainer PID
+    in /tmp/coco_s1.pid; stop exactly that PID (never pattern-matched),
+    give orbax a moment to finish any in-flight snapshot write, and
+    proceed. No-op when no continuation is running.
+    """
+    import os
+    import signal
+
+    try:
+        with open('/tmp/coco_s1.pid') as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return
+    if pid <= 1 or pid == os.getpid():
+        return
+    try:
+        os.kill(pid, 0)
+    except OSError:
+        return  # already gone
+    print(f'# releasing TPU: stopping continuation trainer pid {pid}',
+          flush=True)
+    try:
+        os.kill(pid, signal.SIGTERM)
+    except OSError:
+        return
+    for _ in range(60):
+        time.sleep(1)
+        try:
+            os.kill(pid, 0)
+        except OSError:
+            break
+    else:
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except OSError:
+            pass
+        time.sleep(2)
+    time.sleep(3)  # let the tunnel drop the old client
+
+
 def main():
+    _release_tpu()
     import jax
     import jax.numpy as jnp
 

@@ -48,6 +48,11 @@ print(f'{path}: 350000 iterations, snapshot every 5000')
 EOF
 fi
 
+# Record the trainer PID (exec below keeps $$) so round-end automation —
+# bench.py's _release_tpu() guard in particular — can stop exactly this
+# process and take over the single-client TPU tunnel.
+echo $$ > /tmp/coco_s1.pid
+
 exec python pyscripts/train.py \
   --data_dir "${DATAROOT}" \
   --data_list "${DATAROOT}/train.txt" \

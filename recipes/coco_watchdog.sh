@@ -1,0 +1,57 @@
+#!/bin/bash
+# Staging backstop for the cross-round COCO stage-1 continuation
+# (recipes/coco_resume.sh; execution history in docs/DESIGN.md
+# "Full-recipe execution: COCO").
+#
+# Every 10 min, copy the newest COMPLETE orbax snapshot from the live
+# run into artifacts/coco_stage1_resume/ (git-tracked), so the resume
+# point survives even if every session dies: the driver's end-of-round
+# auto-commit picks up whatever is staged. Appends each staged
+# checkpoint to artifacts/coco_stage1_resume/PROGRESS for the DESIGN.md
+# per-round table.
+#
+# The watchdog does NOT kill the trainer: bench.py's _release_tpu()
+# stops it (by the PID recorded in /tmp/coco_s1.pid) the moment the
+# round-end bench needs the TPU. The watchdog exits once the trainer is
+# gone, after one final staging pass.
+#
+#   setsid nohup bash recipes/coco_watchdog.sh > /tmp/coco_watchdog.log 2>&1 &
+SNAPDIR=${SNAPDIR:-/root/repo/snapshots/coco_synthetic/stage1}
+DEST=${DEST:-/root/repo/artifacts/coco_stage1_resume}
+PIDFILE=${PIDFILE:-/tmp/coco_s1.pid}
+
+copy_newest() {
+  # Committed checkpoints only (orbax writes _CHECKPOINT_METADATA on
+  # commit; in-progress tmp dirs lack it / have suffixed names), picked
+  # by NUMERIC iteration, not lexical ls order.
+  newest=$(for d in "$SNAPDIR"/model-*; do
+    case "$d" in *orbax-checkpoint-tmp*) continue;; esac
+    [ -f "$d/_CHECKPOINT_METADATA" ] || continue
+    echo "$d"
+  done | sort -t- -k2 -n | tail -1)
+  [ -z "$newest" ] && return 0
+  tag=$(basename "$newest")
+  if [ ! -d "$DEST/$tag" ]; then
+    progress=$(cat "$DEST/PROGRESS" 2>/dev/null)
+    rm -rf "$DEST.tmp"; mkdir -p "$DEST.tmp"
+    cp -r "$newest" "$DEST.tmp/$tag"
+    cp "$SNAPDIR/config.yaml" "$DEST.tmp/config.yaml" 2>/dev/null
+    printf '%s\n%s %s staged\n' "$progress" "$(date -u +%Y-%m-%dT%H:%M:%SZ)" \
+      "$tag" | sed '/^$/d' > "$DEST.tmp/PROGRESS"
+    rm -rf "$DEST" && mv "$DEST.tmp" "$DEST"
+    echo "$(date -u +%H:%M:%S) staged $tag"
+  fi
+}
+
+trainer_alive() {
+  [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null
+}
+
+# Give the trainer time to write its PID file on a cold start.
+sleep 60
+while trainer_alive; do
+  sleep 600
+  copy_newest
+done
+copy_newest
+echo "$(date -u +%H:%M:%S) trainer gone; final staging done"
