@@ -31,9 +31,13 @@ This tool reproduces the same pipeline shape with stock numpy/cv2:
      adjacent regions with the weakest shared boundary until the region
      count reaches `--max_segments`.
 
-Remaining fidelity gap vs the paper's tools: the trained
-Structured-Edges model of generate_se_owt_ucm.m (BSDS-trained, not
-reproducible without its training data); the PMI path needs none.
+     - `se`: a TRAINED contour CNN (hsg_tpu/models/edge.py), the analog
+       of the Structured-Edges model generate_se_owt_ucm.m loads. BSDS
+       is not available in this environment, so the shipped checkpoint
+       (artifacts/edge_detector/params.npz, tools/train_edge_detector.py)
+       is trained on procedurally textured scenes with known boundaries;
+       held-out quality vs the other detectors is recorded in
+       artifacts/edge_detector/METRICS.json and tests/test_edge_detector.py.
 
 Usage:
   python tools/generate_superpixels.py --data_dir D --data_list in.txt \
@@ -151,6 +155,36 @@ def pmi_boundary_strength(image: np.ndarray, rho: float = 1.25,
     lo = float(strength.min())
     hi = float(np.percentile(strength, 98))
     return np.clip((strength - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
+
+
+_SE_PARAMS = None
+
+
+def se_boundary_strength(image: np.ndarray,
+                         params_path: str | None = None) -> np.ndarray:
+    """Trained-CNN contour detector (generate_se_owt_ucm.m step-1 analog).
+
+    Loads the committed checkpoint once per process; jax runs on CPU so
+    this offline tool never contends with a training run for the chip.
+    """
+    global _SE_PARAMS
+    if _SE_PARAMS is None:
+        import sys
+        sys.path.insert(0, os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        import jax
+        try:
+            jax.config.update('jax_platforms', 'cpu')
+        except RuntimeError:
+            pass  # backend already initialized (e.g. under pytest)
+        from hsg_tpu.models import edge as edge_lib
+        if params_path is None:
+            params_path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                'artifacts', 'edge_detector', 'params.npz')
+        _SE_PARAMS = edge_lib.load_params(params_path)
+    from hsg_tpu.models import edge as edge_lib
+    return edge_lib.detect(image, _SE_PARAMS)
 
 
 def spectral_globalization(strength: np.ndarray, n_vecs: int = 16,
@@ -361,13 +395,16 @@ def generate(image: np.ndarray, max_segments: int = 48,
     (generate_pmi_owt_ucm.m:1-80): segment at 0.5x, then 2x nearest
     upsample back — used with a larger budget (<=1024 segments) on
     high-resolution frames like Cityscapes. detector: 'sobel' (local
-    gradients) or 'pmi' (per-image-learned crisp boundaries)."""
+    gradients), 'pmi' (per-image-learned crisp boundaries) or 'se'
+    (trained contour CNN, the generate_se_owt_ucm.m analog)."""
     h0, w0 = image.shape[:2]
     if half_res:
         image = cv2.resize(image, (w0 // 2, h0 // 2),
                            interpolation=cv2.INTER_AREA)
     if detector == 'pmi':
         strength = pmi_boundary_strength(image)
+    elif detector == 'se':
+        strength = se_boundary_strength(image)
     else:
         strength = boundary_strength(image)
     if globalize:
@@ -399,10 +436,11 @@ def main():
                              'boundaries detector + half-res scheme '
                              '(segment at 0.5x, 2x nearest upsample; '
                              'use with --max_segments 1024)')
-    parser.add_argument('--detector', choices=('sobel', 'pmi'),
+    parser.add_argument('--detector', choices=('sobel', 'pmi', 'se'),
                         default=None,
                         help='contour detector (default: pmi when --pmi '
-                             'is set, else sobel)')
+                             'is set, else sobel); se = trained CNN, '
+                             'artifacts/edge_detector/params.npz')
     args = parser.parse_args()
     detector = args.detector or ('pmi' if args.pmi else 'sobel')
 

@@ -12,6 +12,9 @@ component) actually matters:
   spb     + spectral globalization (the shipped OWT-UCM analog)
   pmi     PMI crisp-boundaries detector + globalization (the
           generate_pmi_owt_ucm.m analog)
+  se      trained contour CNN + globalization (the generate_se_owt_ucm.m
+          analog; needs artifacts/edge_detector/params.npz — pass
+          --variants grid,local,spb,pmi,se,gt to include it)
   gt      class-aligned oversegmentation (an oracle contour detector)
 
 Everything runs in ONE process so the jitted train/eval programs compile
@@ -83,7 +86,8 @@ def cap_class_aligned(sp, sem, max_segments):
 def superpixel_variants(root, n_train, max_segments=48, wanted=None):
     """{variant: [B, H, W] superpixel maps} over the train split."""
     from tools.generate_superpixels import generate
-    out = {'grid': [], 'local': [], 'spb': [], 'pmi': [], 'gt': []}
+    out = {'grid': [], 'local': [], 'spb': [], 'pmi': [], 'se': [],
+           'gt': []}
     if wanted:
         out = {k: v for k, v in out.items() if k in wanted}
     for i in range(n_train):
@@ -113,6 +117,9 @@ def superpixel_variants(root, n_train, max_segments=48, wanted=None):
         if 'pmi' in out:
             out['pmi'].append(generate(img, max_segments, globalize=True,
                                        detector='pmi'))
+        if 'se' in out:
+            out['se'].append(generate(img, max_segments, globalize=True,
+                                      detector='se'))
         if (i + 1) % 32 == 0:
             print(f'superpixels {i + 1}/{n_train}', flush=True)
     return {k: np.stack(v) for k, v in out.items()}
