@@ -174,9 +174,18 @@ def se_boundary_strength(image: np.ndarray,
             os.path.dirname(os.path.abspath(__file__))))
         import jax
         try:
-            jax.config.update('jax_platforms', 'cpu')
-        except RuntimeError:
-            pass  # backend already initialized (e.g. under pytest)
+            from jax._src import xla_bridge
+            uninitialized = not xla_bridge.backends_are_initialized()
+        except Exception:
+            uninitialized = True
+        if uninitialized:
+            try:
+                jax.config.update('jax_platforms', 'cpu')
+            except RuntimeError:
+                pass
+        # else: respect the caller's backend (e.g. superpixel_sweep.py
+        # latches the TPU for its trainings before generating variants);
+        # the 72k-param CNN is negligible on any device.
         from hsg_tpu.models import edge as edge_lib
         if params_path is None:
             params_path = os.path.join(

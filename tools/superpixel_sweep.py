@@ -167,6 +167,13 @@ def main():
     ap.add_argument('--variants', default='grid,local,spb,pmi,gt')
     args = ap.parse_args()
 
+    # Latch the training backend BEFORE any superpixel generation: the
+    # 'se' variant's detector defensively forces jax onto CPU when it
+    # initializes jax first (so the offline CLI never grabs the chip),
+    # which would silently move this sweep's 3000-step trainings to CPU.
+    import jax
+    jax.devices()
+
     from pyscripts import eval_common
     from pyscripts.common import (build_embedding_model,
                                   build_prediction_model)
