@@ -110,6 +110,18 @@ def main():
     # — the same SPMD program spans hosts; only data feeding changes).
     multihost = mesh_lib.maybe_initialize_distributed()
 
+    # Graceful preemption (single-process runs): on SIGTERM, finish the
+    # in-flight dispatch, write a snapshot, and exit cleanly — so an
+    # eviction costs seconds of progress instead of a full
+    # snapshot_step interval. Multi-process runs keep the default
+    # die-on-signal behavior: a signal delivered to ONE rank must not
+    # start a collective orbax save the other ranks never join.
+    _stop_signal: list = []
+    if jax.process_count() == 1:
+        import signal as _signal
+        _signal.signal(_signal.SIGTERM,
+                       lambda signum, frame: _stop_signal.append(signum))
+
     os.makedirs(args.snapshot_dir, exist_ok=True)
 
     num_devices = len(jax.devices())         # global device count
@@ -552,6 +564,12 @@ def main():
             path = ckpt_lib.save_checkpoint(args.snapshot_dir, state)
             if is_primary:
                 print(f'snapshot -> {path}', flush=True)
+        if _stop_signal:
+            path = ckpt_lib.save_checkpoint(args.snapshot_dir, state)
+            print(f'SIGTERM: snapshot -> {path}; exiting cleanly',
+                  flush=True)
+            it += 1
+            break
         it += 1
 
     if not config.train.snapshot_step:

@@ -49,8 +49,11 @@ trainer_alive() {
 
 # Give the trainer time to write its PID file on a cold start.
 sleep 60
+# 120 s poll: cheap (copies only when a NEW complete snapshot exists)
+# and fast enough that the SIGTERM-save written when bench.py takes the
+# chip is staged before the driver's end-of-round commit.
 while trainer_alive; do
-  sleep 600
+  sleep 120
   copy_newest
 done
 copy_newest

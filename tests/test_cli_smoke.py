@@ -95,6 +95,45 @@ def test_cli_micro_pipeline(tmp_path):
     assert any(f.endswith('.bin') for f in os.listdir(res + '/serving'))
 
 
+@pytest.mark.slow
+def test_sigterm_writes_snapshot_and_exits_cleanly(tmp_path):
+    """Graceful preemption: SIGTERM mid-run makes train.py finish the
+    in-flight step, write a snapshot, and exit 0 — so an eviction (or
+    bench.py's _release_tpu taking the chip at round end) costs seconds
+    of progress, not a snapshot_step interval."""
+    import signal
+    import time
+
+    data = str(tmp_path / 'data')
+    snap = str(tmp_path / 'snap')
+    make_dataset(data, n_images=2, size=32)
+    cfg = os.path.join(REPO, 'configs', 'micro_synthetic.yaml')
+    lst = os.path.join(data, 'list.txt')
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, 'pyscripts', 'train.py'),
+         '--data_dir', data, '--data_list', lst, '--snapshot_dir', snap,
+         '--cfg_path', cfg, '--max_steps', '10000'],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=_env())
+    # Wait until training is actually stepping (first metrics line),
+    # then request a graceful stop.
+    deadline = time.time() + 540
+    lines = []
+    for line in proc.stdout:
+        lines.append(line)
+        if line.startswith('[') or time.time() > deadline:
+            break
+    proc.send_signal(signal.SIGTERM)
+    out = ''.join(lines) + proc.stdout.read()
+    proc.wait(timeout=300)
+    assert proc.returncode == 0, out[-3000:]
+    assert 'SIGTERM: snapshot ->' in out, out[-3000:]
+    saved = [d for d in os.listdir(snap) if d.startswith('model-')
+             and 'tmp' not in d]
+    assert saved, out[-3000:]
+
+
 def test_cli_import_error_is_caught(tmp_path):
     """Meta-test: an injected import-time NameError in a script fails the
     smoke invocation (the exact round-3 escape mode)."""
