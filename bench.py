@@ -102,7 +102,27 @@ def _release_tpu():
     try:
         os.kill(pid, 0)
     except OSError:
-        return  # already gone
+        # Already gone. Still unlink the stale pidfile: the continuation
+        # guard (recipes/coco_guard.sh) treats a missing pidfile as
+        # "the bench owns the chip now" and stands down — without this,
+        # a guard caught between relaunch attempts would keep restarting
+        # the trainer while the bench runs.
+        try:
+            os.unlink('/tmp/coco_s1.pid')
+        except OSError:
+            pass
+        return
+    # Guard against PID reuse on a stale pidfile: only ever signal a
+    # process that is actually the continuation trainer.
+    try:
+        with open(f'/proc/{pid}/cmdline', 'rb') as f:
+            cmdline = f.read().decode('utf-8', 'replace')
+    except OSError:
+        cmdline = ''
+    if 'train.py' not in cmdline:
+        print(f'# stale pidfile: pid {pid} is not train.py; ignoring',
+              flush=True)
+        return
     print(f'# releasing TPU: stopping continuation trainer pid {pid}',
           flush=True)
     try:
@@ -121,6 +141,10 @@ def _release_tpu():
         except OSError:
             pass
         time.sleep(2)
+    try:
+        os.unlink('/tmp/coco_s1.pid')  # now-stale; avoid future PID reuse
+    except OSError:
+        pass
     time.sleep(3)  # let the tunnel drop the old client
 
 
@@ -150,20 +174,14 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), images[:1], None, None,
                            train=False)
 
-    def chained(images):
-        def body(carry, _):
-            out = model.apply(variables, images + carry * 1e-12, None, None,
-                              train=False)
-            return out['cluster_index'].sum().astype(jnp.float32), None
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
-        return c
+    from hsg_tpu.utils.timing import time_chained
 
-    compiled = jax.jit(chained).lower(images).compile()
+    def step(images, carry):
+        out = model.apply(variables, images + carry * 1e-12, None, None,
+                          train=False)
+        return out['cluster_index'].sum().astype(jnp.float32)
 
-    float(compiled(images))  # warm (already compiled)
-    t0 = time.perf_counter()
-    float(compiled(images))
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = time_chained(step, images, ITERS)
     img_s = batch / dt
 
     result = {

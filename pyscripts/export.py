@@ -68,18 +68,22 @@ def main():
                                None, None, train=False))
         template = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), template)
-        # Hard-fail on any eval-model leaf the checkpoint didn't provide:
-        # partial_overlay only warns, and a silently zero-initialized conv
+        # Hard-fail on any eval-model leaf the checkpoint didn't provide
+        # WITH A MATCHING SHAPE: partial_overlay only warns (and skips
+        # shape-mismatched leaves), and a silently zero-initialized conv
         # would survive the artifact self-check below (which compares the
         # artifact against the same broken fn).
         from flax import traverse_util
-        eval_keys = set(traverse_util.flatten_dict(template))
-        ckpt_keys = set(traverse_util.flatten_dict(variables))
-        missing = eval_keys - ckpt_keys
+        flat_tpl = traverse_util.flatten_dict(template)
+        flat_ckpt = traverse_util.flatten_dict(variables)
+        missing = sorted(
+            '/'.join(map(str, p)) for p, leaf in flat_tpl.items()
+            if p not in flat_ckpt
+            or tuple(flat_ckpt[p].shape) != tuple(leaf.shape))
         assert not missing, (
-            'checkpoint is missing eval-model parameters (refusing to '
-            'export zero-initialized weights): '
-            + ', '.join(sorted('/'.join(map(str, p)) for p in missing)))
+            'checkpoint is missing (or shape-mismatches) eval-model '
+            'parameters (refusing to export zero-initialized weights): '
+            + ', '.join(missing))
         variables = ckpt_lib.partial_overlay(template, variables)
         model, variables = fold_lib.fold_inference(model, variables)
 

@@ -554,9 +554,11 @@ def main():
                     _write_image_panels(writer, embedding_model, state,
                                         batch, config, it)
 
-        if (config.train.snapshot_step
-                and ((it + 1) % config.train.snapshot_step == 0
-                     or it == max_iter - 1)):
+        saved_this_iter = bool(
+            config.train.snapshot_step
+            and ((it + 1) % config.train.snapshot_step == 0
+                 or it == max_iter - 1))
+        if saved_this_iter:
             # orbax save is a COLLECTIVE operation: every process must
             # call it (it synchronizes internally and only the primary
             # host writes data) — a primary-only call deadlocks or
@@ -565,7 +567,12 @@ def main():
             if is_primary:
                 print(f'snapshot -> {path}', flush=True)
         if _stop_signal:
-            path = ckpt_lib.save_checkpoint(args.snapshot_dir, state)
+            # Don't re-save when SIGTERM landed exactly on a snapshot
+            # boundary — the state was just written, and a duplicate
+            # force-save would only eat into the preemptor's SIGKILL
+            # grace window.
+            if not saved_this_iter:
+                path = ckpt_lib.save_checkpoint(args.snapshot_dir, state)
             print(f'SIGTERM: snapshot -> {path}; exiting cleanly',
                   flush=True)
             it += 1
@@ -581,8 +588,11 @@ def main():
     # barrier minutes ahead of rank 0 and blow its short,
     # non-configurable timeout.
     mesh_lib.coordination_barrier('hsg_tpu:train_done')
-    final_loss = float(metrics["loss"]) if max_iter > curr_iter else float("nan")
-    print(f'done: {max_iter - curr_iter} steps, final loss '
+    # `it` is the first iteration NOT executed (the loop increments it
+    # after each step, including the SIGTERM early-exit path), so this
+    # counts the steps that actually ran in this leg.
+    final_loss = float(metrics["loss"]) if it > curr_iter else float("nan")
+    print(f'done: {it - curr_iter} steps, final loss '
           f'{final_loss:.4f}')
 
 

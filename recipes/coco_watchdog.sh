@@ -24,21 +24,34 @@ copy_newest() {
   # Committed checkpoints only (orbax writes _CHECKPOINT_METADATA on
   # commit; in-progress tmp dirs lack it / have suffixed names), picked
   # by NUMERIC iteration, not lexical ls order.
-  newest=$(for d in "$SNAPDIR"/model-*; do
+  # Sort BASENAMES so a '-' in SNAPDIR itself cannot break the numeric
+  # iteration ordering.
+  tag=$(for d in "$SNAPDIR"/model-*; do
     case "$d" in *orbax-checkpoint-tmp*) continue;; esac
     [ -f "$d/_CHECKPOINT_METADATA" ] || continue
-    echo "$d"
+    basename "$d"
   done | sort -t- -k2 -n | tail -1)
-  [ -z "$newest" ] && return 0
-  tag=$(basename "$newest")
+  [ -z "$tag" ] && return 0
   if [ ! -d "$DEST/$tag" ]; then
     progress=$(cat "$DEST/PROGRESS" 2>/dev/null)
-    rm -rf "$DEST.tmp"; mkdir -p "$DEST.tmp"
-    cp -r "$newest" "$DEST.tmp/$tag"
+    rm -rf "$DEST.tmp" "$DEST.old"; mkdir -p "$DEST.tmp"
+    # Never touch the previous good staging until the copy has fully
+    # SUCCEEDED (a failed cp — disk full, I/O error — must not destroy
+    # the last committed resume point).
+    if ! cp -r "$SNAPDIR/$tag" "$DEST.tmp/$tag"; then
+      echo "$(date -u +%H:%M:%S) cp of $tag FAILED; keeping previous staging"
+      rm -rf "$DEST.tmp"
+      return 1
+    fi
     cp "$SNAPDIR/config.yaml" "$DEST.tmp/config.yaml" 2>/dev/null
     printf '%s\n%s %s staged\n' "$progress" "$(date -u +%Y-%m-%dT%H:%M:%SZ)" \
       "$tag" | sed '/^$/d' > "$DEST.tmp/PROGRESS"
-    rm -rf "$DEST" && mv "$DEST.tmp" "$DEST"
+    # Swap via two renames (instant) instead of rm-then-mv, so there is
+    # no multi-second window where $DEST does not exist for a concurrent
+    # end-of-round auto-commit to observe.
+    mv "$DEST" "$DEST.old" 2>/dev/null
+    mv "$DEST.tmp" "$DEST"
+    rm -rf "$DEST.old"
     echo "$(date -u +%H:%M:%S) staged $tag"
   fi
 }

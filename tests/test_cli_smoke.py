@@ -117,16 +117,25 @@ def test_sigterm_writes_snapshot_and_exits_cleanly(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=_env())
     # Wait until training is actually stepping (first metrics line),
-    # then request a graceful stop.
-    deadline = time.time() + 540
+    # then request a graceful stop. The deadline must hold even if the
+    # trainer wedges BEFORE printing anything (readline would block
+    # forever and never reach a time check), so it is enforced by a
+    # watchdog timer that hard-kills the subprocess — the loop then sees
+    # EOF and the returncode assertion reports the failure.
+    import threading
+    killer = threading.Timer(540, proc.kill)
+    killer.start()
     lines = []
-    for line in proc.stdout:
-        lines.append(line)
-        if line.startswith('[') or time.time() > deadline:
-            break
-    proc.send_signal(signal.SIGTERM)
-    out = ''.join(lines) + proc.stdout.read()
-    proc.wait(timeout=300)
+    try:
+        for line in proc.stdout:
+            lines.append(line)
+            if line.startswith('['):
+                break
+        proc.send_signal(signal.SIGTERM)
+        out = ''.join(lines) + proc.stdout.read()
+        proc.wait(timeout=300)
+    finally:
+        killer.cancel()
     assert proc.returncode == 0, out[-3000:]
     assert 'SIGTERM: snapshot ->' in out, out[-3000:]
     saved = [d for d in os.listdir(snap) if d.startswith('model-')

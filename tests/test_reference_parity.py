@@ -518,24 +518,23 @@ def _assert_loss_parity(ref_losses, our_losses):
 def test_losses_match_reference(forward_pair):
     """All loss terms vs the reference's Hsg head, with the reference's
     own trainer glue assembling its targets (train.py:169-268)."""
-    if True:
-        from hsg.models.predictions.hsg import hsg as ref_hsg_pred
+    from hsg.models.predictions.hsg import hsg as ref_hsg_pred
 
-        ref_cfg = forward_pair['ref_cfg']
-        ref_out, label_batch = _assemble_ref_targets(forward_pair)
+    ref_cfg = forward_pair['ref_cfg']
+    ref_out, label_batch = _assemble_ref_targets(forward_pair)
 
-        ref_pred = ref_hsg_pred(ref_cfg).double()
-        with torch.no_grad():
-            ref_losses = ref_pred(ref_out, label_batch, with_loss=True)
+    ref_pred = ref_hsg_pred(ref_cfg).double()
+    with torch.no_grad():
+        ref_losses = ref_pred(ref_out, label_batch, with_loss=True)
 
-        # --- ours ---
-        from hsg_tpu.models import predictions as pred_lib
-        our_pred = pred_lib.hsg(_our_config())
-        _, _, _, image_index = forward_pair['batch']
-        our_losses = our_pred(
-            forward_pair['ours'], {'image_index': jnp.asarray(image_index)},
-            with_loss=True)
-        _assert_loss_parity(ref_losses, our_losses)
+    # --- ours ---
+    from hsg_tpu.models import predictions as pred_lib
+    our_pred = pred_lib.hsg(_our_config())
+    _, _, _, image_index = forward_pair['batch']
+    our_losses = our_pred(
+        forward_pair['ours'], {'image_index': jnp.asarray(image_index)},
+        with_loss=True)
+    _assert_loss_parity(ref_losses, our_losses)
 
 
 @pytest.mark.slow

@@ -21,7 +21,6 @@ Result is recorded in docs/ROADMAP.md / docs/DESIGN.md.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -56,20 +55,14 @@ def time_variant(channels):
     variables = model.init(jax.random.PRNGKey(0), images[:1], None, None,
                            train=False)
 
-    def chained(images):
-        def body(carry, _):
-            out = model.apply(variables, images + carry * 1e-12, None, None,
-                              train=False)
-            return out['cluster_index'].sum().astype(jnp.float32), None
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
-        return c
+    from hsg_tpu.utils.timing import time_chained
 
-    compiled = jax.jit(chained).lower(images).compile()
-    float(compiled(images))  # warm
-    t0 = time.perf_counter()
-    float(compiled(images))
-    dt = (time.perf_counter() - t0) / ITERS
-    return BATCH / dt
+    def step(images, carry):
+        out = model.apply(variables, images + carry * 1e-12, None, None,
+                          train=False)
+        return out['cluster_index'].sum().astype(jnp.float32)
+
+    return BATCH / time_chained(step, images, ITERS)
 
 
 def main():

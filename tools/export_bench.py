@@ -23,7 +23,6 @@ Result recorded in docs/DESIGN.md ("Serving export artifact").
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -69,32 +68,25 @@ def build():
     return fn, image, cfg
 
 
-def time_chained(fn, image):
-    """Per-image latency of `fn(image, vh, vw) -> u8 labels`, ITERS
-    dependent calls in one dispatch."""
-    import jax
+def time_serving(fn, image):
+    """Images/s of `fn(image, vh, vw) -> u8 labels`, ITERS dependent
+    calls in one dispatch (shared methodology: hsg_tpu/utils/timing.py)."""
     import jax.numpy as jnp
 
-    def chained(image):
-        def body(carry, _):
-            out = fn(image + carry * 1e-12, jnp.int32(HW), jnp.int32(HW))
-            return out.sum().astype(jnp.float32) * 0.0, None
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
-        return c
+    from hsg_tpu.utils.timing import time_chained
 
-    compiled = jax.jit(chained).lower(image).compile()
-    float(compiled(image))  # warm
-    t0 = time.perf_counter()
-    float(compiled(image))
-    dt = (time.perf_counter() - t0) / ITERS
-    return 1.0 / dt
+    def step(image, carry):
+        out = fn(image + carry * 1e-12, jnp.int32(HW), jnp.int32(HW))
+        return out.sum().astype(jnp.float32) * 0.0
+
+    return 1.0 / time_chained(step, image, ITERS)
 
 
 def main():
     from hsg_tpu.eval import export_lib
 
     fn, image, cfg = build()
-    inproc = time_chained(fn, image)
+    inproc = time_serving(fn, image)
     print(json.dumps({'path': 'in-process', 'img_per_s': round(inproc, 1)}),
           flush=True)
 
@@ -103,7 +95,7 @@ def main():
         fn, (image, np.int32(HW), np.int32(HW)), artifact)
     size_mb = os.path.getsize(artifact) / 2**20
     loaded = export_lib.load_serving(artifact)
-    art = time_chained(loaded, image)
+    art = time_serving(loaded, image)
     print(json.dumps({'path': 'artifact', 'img_per_s': round(art, 1),
                       'artifact_mb': round(size_mb, 1)}), flush=True)
     print(json.dumps({

@@ -158,17 +158,21 @@ def pmi_boundary_strength(image: np.ndarray, rho: float = 1.25,
 
 
 _SE_PARAMS = None
+_SE_PARAMS_PATH = None
 
 
 def se_boundary_strength(image: np.ndarray,
                          params_path: str | None = None) -> np.ndarray:
     """Trained-CNN contour detector (generate_se_owt_ucm.m step-1 analog).
 
-    Loads the committed checkpoint once per process; jax runs on CPU so
-    this offline tool never contends with a training run for the chip.
+    Loads each checkpoint once per process (cache keyed on the params
+    path, so an explicit ``params_path`` is honored even after the
+    default checkpoint was already loaded); jax runs on CPU so this
+    offline tool never contends with a training run for the chip.
     """
-    global _SE_PARAMS
-    if _SE_PARAMS is None:
+    global _SE_PARAMS, _SE_PARAMS_PATH
+    if _SE_PARAMS is None or (params_path is not None
+                              and params_path != _SE_PARAMS_PATH):
         import sys
         sys.path.insert(0, os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
@@ -192,6 +196,7 @@ def se_boundary_strength(image: np.ndarray,
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 'artifacts', 'edge_detector', 'params.npz')
         _SE_PARAMS = edge_lib.load_params(params_path)
+        _SE_PARAMS_PATH = params_path
     from hsg_tpu.models import edge as edge_lib
     return edge_lib.detect(image, _SE_PARAMS)
 
