@@ -119,9 +119,11 @@ def _release_tpu():
             cmdline = f.read().decode('utf-8', 'replace')
     except OSError:
         cmdline = ''
-    if 'train.py' not in cmdline:
-        print(f'# stale pidfile: pid {pid} is not train.py; ignoring',
-              flush=True)
+    if 'pyscripts/' not in cmdline:
+        # The continuation registers train.py AND the finish recipe's
+        # prototype/inference children here (recipes/coco_finish.sh).
+        print(f'# stale pidfile: pid {pid} is not a pyscripts job; '
+              'ignoring', flush=True)
         return
     print(f'# releasing TPU: stopping continuation trainer pid {pid}',
           flush=True)

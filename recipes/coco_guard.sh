@@ -64,7 +64,12 @@ relaunch() {
 
 while :; do
   if [ -d "$SNAPDIR/model-350000" ]; then
-    log "run complete (model-350000 exists); guard exiting"
+    log "stage-1 complete (model-350000 exists); chaining into coco_finish"
+    # Idempotent + flock-single-instance; runs stage-2 then the eval
+    # protocol, with every chip-holding child registered in the pidfile
+    # so the round-end bench can still claim the TPU.
+    setsid nohup bash recipes/coco_finish.sh > /tmp/coco_finish.log 2>&1 \
+      < /dev/null &
     exit 0
   fi
   if trainer_alive; then
