@@ -21,7 +21,7 @@ from make_synthetic_data import make_dataset
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPTS = ['train.py', 'prototype.py', 'inference.py', 'benchmark.py',
-           'export.py', 'demo.py']
+           'export.py', 'demo.py', 'serve.py']
 
 
 def _env():
