@@ -46,6 +46,12 @@ def test_serve_http_roundtrip(tmp_path):
          '--artifact_dir', str(tmp_path), '--port', '0'],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env)
+    import threading
+    # Hard deadline even if the server wedges before printing anything
+    # (readline would block forever; the killed process yields EOF and
+    # the assertions below report the failure).
+    killer = threading.Timer(540, proc.kill)
+    killer.start()
     try:
         # The startup line carries the picked port (--port 0 = ephemeral).
         line = ''
@@ -98,5 +104,6 @@ def test_serve_http_roundtrip(tmp_path):
             f'{base}/healthz', timeout=60).read())
         assert health['requests'] == 2
     finally:
+        killer.cancel()
         proc.kill()
         proc.wait()
