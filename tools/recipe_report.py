@@ -94,6 +94,22 @@ def main():
           f'(last-10-point mean {sum(tail) / len(tail):.3f})')
     print(f'  logged points {len(steps)}, last step {steps[-1]}')
 
+    # Quality trend without touching the chip: the trainer logs the
+    # rolling memory-bank retrieval accuracy every tensorboard_step
+    # (train_step.py metrics) — its run-position quartiles show whether
+    # the long run is still improving, not just descending in loss.
+    acc = {s: v for s, (_, v) in merged.get('accuracy', {}).items()}
+    if acc:
+        a_steps = sorted(acc)
+        aq = lambda f: acc[a_steps[min(len(a_steps) - 1,
+                                       int(f * len(a_steps)))]]
+        a_tail = [acc[s] for s in a_steps[-10:]]
+        print('== retrieval accuracy (run-position quartiles) ==')
+        print(f'  start {acc[a_steps[0]]:.4f}  25% {aq(.25):.4f}  '
+              f'50% {aq(.5):.4f}  75% {aq(.75):.4f}  '
+              f'end {acc[a_steps[-1]]:.4f} '
+              f'(last-10-point mean {sum(a_tail) / len(a_tail):.4f})')
+
 
 if __name__ == '__main__':
     main()
