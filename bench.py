@@ -92,6 +92,25 @@ def _release_tpu():
     import os
     import signal
 
+    def _unlink_pidfile():
+        # The continuation supervisors (recipes/coco_guard.sh,
+        # coco_finish.sh) treat a missing pidfile as "the bench owns the
+        # chip now" and stand down — unlink it whenever its target is
+        # not (or no longer) a live continuation job.
+        try:
+            os.unlink('/tmp/coco_s1.pid')
+        except OSError:
+            pass
+
+    # Advertise this bench's lifetime: the supervisors wait while this
+    # PID is alive before (re)launching anything on the single-client
+    # tunnel, closing the unlink->relaunch race windows.
+    try:
+        with open('/tmp/hsg_bench.pid', 'w') as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+
     try:
         with open('/tmp/coco_s1.pid') as f:
             pid = int(f.read().strip())
@@ -102,15 +121,7 @@ def _release_tpu():
     try:
         os.kill(pid, 0)
     except OSError:
-        # Already gone. Still unlink the stale pidfile: the continuation
-        # guard (recipes/coco_guard.sh) treats a missing pidfile as
-        # "the bench owns the chip now" and stands down — without this,
-        # a guard caught between relaunch attempts would keep restarting
-        # the trainer while the bench runs.
-        try:
-            os.unlink('/tmp/coco_s1.pid')
-        except OSError:
-            pass
+        _unlink_pidfile()  # already gone; stale
         return
     # Guard against PID reuse on a stale pidfile: only ever signal a
     # process that is actually the continuation trainer.
@@ -121,15 +132,20 @@ def _release_tpu():
         cmdline = ''
     if 'pyscripts/' not in cmdline:
         # The continuation registers train.py AND the finish recipe's
-        # prototype/inference children here (recipes/coco_finish.sh).
+        # prototype/inference children here (recipes/coco_finish.sh) —
+        # anything else is a recycled PID. The pidfile is the
+        # continuation protocol's own state, so clear it (the innocent
+        # process is left untouched).
         print(f'# stale pidfile: pid {pid} is not a pyscripts job; '
-              'ignoring', flush=True)
+              'clearing pidfile, leaving the process alone', flush=True)
+        _unlink_pidfile()
         return
     print(f'# releasing TPU: stopping continuation trainer pid {pid}',
           flush=True)
     try:
         os.kill(pid, signal.SIGTERM)
     except OSError:
+        _unlink_pidfile()  # died between the checks
         return
     for _ in range(60):
         time.sleep(1)
@@ -143,10 +159,7 @@ def _release_tpu():
         except OSError:
             pass
         time.sleep(2)
-    try:
-        os.unlink('/tmp/coco_s1.pid')  # now-stale; avoid future PID reuse
-    except OSError:
-        pass
+    _unlink_pidfile()  # now-stale; avoid future PID reuse
     time.sleep(3)  # let the tunnel drop the old client
 
 

@@ -17,6 +17,7 @@ DATAROOT=${DATAROOT:-/tmp/syn_coco}
 BASE=${BASE:-snapshots/coco_synthetic}
 OUT=${OUT:-artifacts/coco_final}
 PIDFILE=${PIDFILE:-/tmp/coco_s1.pid}
+BENCHPID=${BENCHPID:-/tmp/hsg_bench.pid}
 
 # Single instance only (the guard may relaunch this after a restart
 # while an earlier launch is still running).
@@ -29,6 +30,15 @@ flock -n 9 || { echo "another coco_finish is running; exiting"; exit 0; }
 # this script is idempotent, so the next round just relaunches it).
 run_on_chip() {
   local status=0
+  # Single-client tunnel: if the round-end bench is running (it
+  # advertises its PID for its whole lifetime), wait it out rather than
+  # attaching a second client; once it exits the chip is free and the
+  # finish continues.
+  while bp=$(cat "$BENCHPID" 2>/dev/null) && [ -n "$bp" ] \
+        && kill -0 "$bp" 2>/dev/null; do
+    echo "bench (pid $bp) holds the chip; waiting 60s"
+    sleep 60
+  done
   "$@" &
   echo $! > "$PIDFILE"
   wait $! || status=$?
@@ -54,7 +64,8 @@ if [ ! -d "${BASE}/stage1/model-350000" ]; then
   if [ -d "artifacts/coco_stage1_resume/model-350000" ]; then
     mkdir -p "${BASE}/stage1"
     cp -r artifacts/coco_stage1_resume/model-350000 "${BASE}/stage1/"
-    cp artifacts/coco_stage1_resume/config.yaml "${BASE}/stage1/" 2>/dev/null
+    cp artifacts/coco_stage1_resume/config.yaml "${BASE}/stage1/" \
+      2>/dev/null || true  # tolerated under set -e; stage-2 has its own
   else
     echo "stage-1 350k not complete yet (no model-350000); run" \
          "recipes/coco_guard.sh first" >&2
@@ -110,8 +121,14 @@ python pyscripts/benchmark.py \
   --num_classes 21 | tee "${OUT}/EVAL.txt"
 
 # Preserve the final stage-2 model + the run report for the record.
-newest=$(cd ${BASE}/stage2 && ls -d model-* 2>/dev/null \
-         | sort -t- -k2 -n | tail -1)
+# COMMITTED checkpoints only (same filter as coco_watchdog.sh): an
+# interrupted save leaves an orbax tmp dir that must never be archived
+# as the final model.
+newest=$(for d in ${BASE}/stage2/model-*; do
+  case "$d" in *orbax-checkpoint-tmp*) continue;; esac
+  [ -f "$d/_CHECKPOINT_METADATA" ] || continue
+  basename "$d"
+done | sort -t- -k2 -n | tail -1)
 if [ -n "$newest" ]; then
   cp -r "${BASE}/stage2/$newest" "${OUT}/"
   cp ${BASE}/stage2/config.yaml "${OUT}/"

@@ -11,31 +11,58 @@
 # Loop: while the trainer is alive, watch its log's write age; past
 # STALL_SECS (snapshot writes and resume-time scan compiles legitimately
 # take many minutes — see docs/DESIGN.md) the trainer is declared
-# wedged, killed (SIGTERM then SIGKILL), and relaunched once the tunnel
-# answers a small matmul probe again. While it is dead: probe, relaunch
-# when healthy.
+# wedged, killed (SIGTERM, generous grace for the graceful snapshot
+# save, then SIGKILL), and relaunched once the tunnel answers a small
+# matmul probe again. While it is dead: probe, relaunch when healthy.
 #
-# Exits when (a) the run is COMPLETE (model-350000 exists), or (b) the
-# trainer is gone AND /tmp/coco_s1.pid was removed — bench.py's
-# _release_tpu() unlinks it when the round-end bench takes the chip, so
-# a missing pidfile means "stop training, the round is over".
+# Coexistence with the round-end bench (single-client TPU tunnel):
+# bench.py advertises its lifetime in /tmp/hsg_bench.pid and unlinks the
+# trainer pidfile when it claims the chip. The guard (a) never launches
+# anything while the bench PID is alive, and (b) exits for the round
+# when a previously-seen pidfile disappears. A missing pidfile at
+# STARTUP is a fresh round (coco_resume.sh writes it only after dataset
+# regeneration), not a bench takeover.
+#
+# When stage-1 is COMPLETE (model-350000 exists) the guard chains into
+# recipes/coco_finish.sh (stage-2 + eval protocol) and exits.
 #
 #   setsid nohup bash recipes/coco_guard.sh > /tmp/coco_guard.log 2>&1 &
 cd "$(dirname "$0")/.."
 
 SNAPDIR=${SNAPDIR:-snapshots/coco_synthetic/stage1}
 PIDFILE=${PIDFILE:-/tmp/coco_s1.pid}
+BENCHPID=${BENCHPID:-/tmp/hsg_bench.pid}
 TRAINLOG=${TRAINLOG:-/tmp/coco_s1.log}
 STALL_SECS=${STALL_SECS:-1500}
+TERM_GRACE=${TERM_GRACE:-120}
 POLL=${POLL:-120}
+
+RESUME_PID=""        # the relaunched coco_resume.sh shell (== trainer
+                     # after its exec); covers the window before the
+                     # pidfile is (re)written
+SEEN_PIDFILE=0       # only a pidfile that EXISTED and then vanished
+                     # means "the bench took the chip"
 
 log() { echo "$(date -u +%H:%M:%S) $*"; }
 
-trainer_pid() { cat "$PIDFILE" 2>/dev/null; }
+is_continuation_job() {
+  # PID-reuse safe: the PID must be live AND running a pyscripts/ job.
+  [ -n "$1" ] && kill -0 "$1" 2>/dev/null \
+    && grep -q "pyscripts/" "/proc/$1/cmdline" 2>/dev/null
+}
 
 trainer_alive() {
-  pid=$(trainer_pid)
-  [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null
+  pid=$(cat "$PIDFILE" 2>/dev/null)
+  if is_continuation_job "$pid"; then
+    return 0
+  fi
+  # Pre-pidfile window of a relaunch (dataset regeneration etc).
+  [ -n "$RESUME_PID" ] && kill -0 "$RESUME_PID" 2>/dev/null
+}
+
+bench_running() {
+  bp=$(cat "$BENCHPID" 2>/dev/null)
+  [ -n "$bp" ] && kill -0 "$bp" 2>/dev/null
 }
 
 tunnel_healthy() {
@@ -48,10 +75,17 @@ print('tunnel ok')" >/dev/null 2>&1
 }
 
 kill_trainer() {
-  pid=$(trainer_pid)
-  [ -z "$pid" ] && return 0
+  pid=$(cat "$PIDFILE" 2>/dev/null)
+  [ -n "$RESUME_PID" ] && [ "$pid" != "$RESUME_PID" ] \
+    && kill -TERM "$RESUME_PID" 2>/dev/null
+  is_continuation_job "$pid" || return 0
   kill -TERM "$pid" 2>/dev/null
-  for _ in $(seq 30); do kill -0 "$pid" 2>/dev/null || return 0; sleep 1; done
+  # Generous grace: a trainer that un-wedges right after the SIGTERM
+  # needs time for its graceful snapshot-then-exit save.
+  for _ in $(seq "$TERM_GRACE"); do
+    kill -0 "$pid" 2>/dev/null || return 0
+    sleep 1
+  done
   kill -KILL "$pid" 2>/dev/null
   sleep 3
 }
@@ -59,10 +93,25 @@ kill_trainer() {
 relaunch() {
   log "relaunching trainer"
   setsid nohup bash recipes/coco_resume.sh > "$TRAINLOG" 2>&1 < /dev/null &
+  RESUME_PID=$!
   sleep 5
 }
 
 while :; do
+  [ -f "$PIDFILE" ] && SEEN_PIDFILE=1
+
+  # Stand-down checks FIRST: never touch the chip while the bench has
+  # it or after it cleared the pidfile for the round.
+  if bench_running; then
+    log "bench holds the chip; waiting"
+    sleep "$POLL"
+    continue
+  fi
+  if [ "$SEEN_PIDFILE" = 1 ] && [ ! -f "$PIDFILE" ] && ! trainer_alive; then
+    log "pidfile gone (bench took the chip); guard exiting"
+    exit 0
+  fi
+
   if [ -d "$SNAPDIR/model-350000" ]; then
     log "stage-1 complete (model-350000 exists); chaining into coco_finish"
     # Idempotent + flock-single-instance; runs stage-2 then the eval
@@ -72,6 +121,7 @@ while :; do
       < /dev/null &
     exit 0
   fi
+
   if trainer_alive; then
     age=$(( $(date +%s) - $(stat -c %Y "$TRAINLOG" 2>/dev/null || date +%s) ))
     if [ "$age" -gt "$STALL_SECS" ]; then
@@ -80,16 +130,12 @@ while :; do
       # fall through to the dead-trainer branch next loop
     fi
   else
-    if [ ! -f "$PIDFILE" ]; then
-      log "pidfile gone (bench took the chip); guard exiting"
-      exit 0
-    fi
     if tunnel_healthy; then
-      # The probe can take minutes — the round-end bench may have
-      # claimed the chip meanwhile (it unlinks the pidfile). Re-check
-      # before grabbing the tunnel back from it.
-      if [ ! -f "$PIDFILE" ]; then
-        log "pidfile gone during probe (bench took the chip); guard exiting"
+      # The probe can take minutes — re-check the bench takeover signals
+      # before grabbing the tunnel.
+      if bench_running || { [ "$SEEN_PIDFILE" = 1 ] && [ ! -f "$PIDFILE" ]; }
+      then
+        log "bench claimed the chip during probe; guard exiting"
         exit 0
       fi
       relaunch

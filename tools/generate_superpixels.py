@@ -165,14 +165,19 @@ def se_boundary_strength(image: np.ndarray,
                          params_path: str | None = None) -> np.ndarray:
     """Trained-CNN contour detector (generate_se_owt_ucm.m step-1 analog).
 
-    Loads each checkpoint once per process (cache keyed on the params
-    path, so an explicit ``params_path`` is honored even after the
-    default checkpoint was already loaded); jax runs on CPU so this
-    offline tool never contends with a training run for the chip.
+    Loads each checkpoint once per process — the cache is keyed on the
+    RESOLVED params path (``params_path=None`` resolves to the committed
+    default first), so switching between an explicit checkpoint and the
+    default in either order always loads the right weights; jax runs on
+    CPU so this offline tool never contends with a training run for the
+    chip.
     """
     global _SE_PARAMS, _SE_PARAMS_PATH
-    if _SE_PARAMS is None or (params_path is not None
-                              and params_path != _SE_PARAMS_PATH):
+    if params_path is None:
+        params_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            'artifacts', 'edge_detector', 'params.npz')
+    if _SE_PARAMS is None or params_path != _SE_PARAMS_PATH:
         import sys
         sys.path.insert(0, os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
@@ -191,10 +196,6 @@ def se_boundary_strength(image: np.ndarray,
         # latches the TPU for its trainings before generating variants);
         # the 72k-param CNN is negligible on any device.
         from hsg_tpu.models import edge as edge_lib
-        if params_path is None:
-            params_path = os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                'artifacts', 'edge_detector', 'params.npz')
         _SE_PARAMS = edge_lib.load_params(params_path)
         _SE_PARAMS_PATH = params_path
     from hsg_tpu.models import edge as edge_lib
