@@ -95,6 +95,15 @@ relaunch() {
   setsid nohup bash recipes/coco_resume.sh > "$TRAINLOG" 2>&1 < /dev/null &
   RESUME_PID=$!
   sleep 5
+  # The staging watchdog exits when a trainer dies; give the new trainer
+  # one (it checks liveness via the watchdog's own pidfile — no
+  # process-name pattern matching).
+  wpid=$(cat /tmp/coco_watchdog.pid 2>/dev/null)
+  if [ -z "$wpid" ] || ! kill -0 "$wpid" 2>/dev/null; then
+    log "restarting staging watchdog"
+    setsid nohup bash recipes/coco_watchdog.sh \
+      >> /tmp/coco_watchdog.log 2>&1 < /dev/null &
+  fi
 }
 
 while :; do

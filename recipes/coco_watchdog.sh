@@ -60,8 +60,16 @@ trainer_alive() {
   [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null
 }
 
-# Give the trainer time to write its PID file on a cold start.
-sleep 60
+# Record our own PID so the guard can check/restart the watchdog
+# without pattern-matching process names.
+echo $$ > /tmp/coco_watchdog.pid
+
+# Give the trainer time to write its PID file on a cold start — a
+# relaunch may first regenerate the dataset, which takes minutes.
+for _ in $(seq 30); do
+  [ -f "$PIDFILE" ] && break
+  sleep 30
+done
 # 120 s poll: cheap (copies only when a NEW complete snapshot exists)
 # and fast enough that the SIGTERM-save written when bench.py takes the
 # chip is staged before the driver's end-of-round commit.
