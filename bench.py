@@ -50,6 +50,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -163,8 +164,16 @@ def _release_tpu():
     time.sleep(3)  # let the tunnel drop the old client
 
 
-def main():
-    _release_tpu()
+def run_bench():
+    """Build the full result dict (the JSON line main() prints).
+
+    Tiny-shape env knobs (HSG_BENCH_*) let tests/test_bench_gate.py
+    execute this exact flow on CPU in seconds; production values are the
+    module constants. HSG_BENCH_NO_RELEASE=1 skips the TPU-takeover
+    protocol (tests must never signal a live training continuation).
+    """
+    if not os.environ.get('HSG_BENCH_NO_RELEASE'):
+        _release_tpu()
     import jax
     import jax.numpy as jnp
 
@@ -181,8 +190,9 @@ def main():
 
     model = fcn_lib.resnet_50_fcn_test(cfg)
 
-    batch = 32
-    hw = 448
+    batch = int(os.environ.get('HSG_BENCH_BATCH', 32))
+    hw = int(os.environ.get('HSG_BENCH_HW', 448))
+    iters = int(os.environ.get('HSG_BENCH_ITERS', ITERS))
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(size=(batch, hw, hw, 3)), jnp.float32)
 
@@ -196,7 +206,7 @@ def main():
                           train=False)
         return out['cluster_index'].sum().astype(jnp.float32)
 
-    dt = time_chained(step, images, ITERS)
+    dt = time_chained(step, images, iters)
     img_s = batch / dt
 
     result = {
@@ -212,14 +222,23 @@ def main():
         result['mfu'] = round(achieved / peak, 3)
 
     # Training-path metric (stage-1 at true shapes). Failure here must
-    # not lose the primary inference metric.
+    # not lose the primary inference metric — but it must also never be
+    # silent: tests/test_bench_gate.py executes this whole flow and
+    # fails on any *_error key (the round-4 regression class).
     try:
-        del compiled, variables, images
-        import sys as _sys, os as _os
-        _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        del variables, images
+        import sys as _sys
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from tools.rehearse_recipes import run as rehearse_run
-        _os.environ.setdefault('HSG_CHAINED', str(TRAIN_CHAIN))
-        tr = rehearse_run('stage1', steps=TRAIN_STEPS, emit=False)
+        os.environ.setdefault('HSG_CHAINED', str(TRAIN_CHAIN))
+        train_steps = int(
+            os.environ.get('HSG_BENCH_TRAIN_STEPS', TRAIN_STEPS))
+        rows = os.environ.get('HSG_BENCH_TRAIN_ROWS')
+        tr = rehearse_run(
+            'stage1', steps=train_steps, emit=False,
+            rows=int(rows) if rows else None,
+            hw=int(os.environ['HSG_BENCH_TRAIN_HW'])
+            if os.environ.get('HSG_BENCH_TRAIN_HW') else None)
         result['train_ms_step'] = tr['ms_per_step']
         result['train_views_s'] = tr['views_per_s']
         if peak:
@@ -228,7 +247,11 @@ def main():
     except Exception as e:
         result['train_error'] = f'{type(e).__name__}: {e}'[:200]
 
-    print(json.dumps(result))
+    return result
+
+
+def main():
+    print(json.dumps(run_bench()))
 
 
 if __name__ == '__main__':

@@ -74,7 +74,13 @@ def synthetic_batch(rows, hw, num_views, seed=0):
     }
 
 
-def run(stage, steps, profile_dir=None, emit=True):
+def run(stage, steps, profile_dir=None, emit=True, rows=None, hw=None):
+    """Time `steps` train steps of `stage` at its recipe shapes.
+
+    rows/hw override the stage's true scale — used by the bench CI gate
+    (tests/test_bench_gate.py) to execute this exact flow on CPU with
+    tiny shapes; production callers leave them None.
+    """
     import jax
     import jax.numpy as jnp
     from hsg_tpu.config import default_config, update_config
@@ -84,7 +90,9 @@ def run(stage, steps, profile_dir=None, emit=True):
     from pyscripts.common import (build_embedding_model,
                                   build_prediction_model, head_multipliers)
 
-    yaml_path, rows, hw, seg_override = STAGES[stage]
+    yaml_path, stage_rows, stage_hw, seg_override = STAGES[stage]
+    rows = rows or stage_rows
+    hw = hw or stage_hw
     config = update_config(default_config(), yaml_path)
     if seg_override:
         config.network.max_segments_per_view = seg_override
