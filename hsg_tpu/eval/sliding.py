@@ -58,8 +58,11 @@ def sliding_window_embeddings(embed_fn, image: jnp.ndarray,
     embs = common.normalize_embedding(embs)
 
     c = embs.shape[-1]
-    canvas = jnp.zeros((h, w, c), jnp.float32)
-    counts = jnp.zeros((h, w, 1), jnp.float32)
+    # Accumulators follow the embedding dtype (f32 in production; the f64
+    # reference-parity run must not round the canvas through f32).
+    acc_dtype = jnp.promote_types(jnp.float32, embs.dtype)
+    canvas = jnp.zeros((h, w, c), acc_dtype)
+    counts = jnp.zeros((h, w, 1), acc_dtype)
     for (y, x), e in zip(coords, embs):
         canvas = canvas.at[y:y + ch, x:x + cw].add(e)
         counts = counts.at[y:y + ch, x:x + cw].add(1.0)

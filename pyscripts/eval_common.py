@@ -239,3 +239,35 @@ def eval_image_loop(dataset, todo, process_fn, tag, backlog=8):
     pool.shutdown()
     timings['wall_s'] = time.perf_counter() - t_start
     return timings
+
+
+def make_retrieve_fn(config, memory, memory_labels):
+    """Jitted per-image retrieval labeler: cluster embeddings -> segment
+    prototypes -> top-20 NN against the memory bank -> majority vote ->
+    per-pixel labels.
+
+    This IS the eval protocol that produces the mIoU (reference
+    `predictions/segsort.py:66-123` semantics; its <=10-way query
+    chunking is a memory-saving detail with no effect on results, since
+    each query row retrieves independently against the full bank).
+    Shared by pyscripts/inference.py and the reference-parity suite so
+    the tested path is the production path.
+    """
+    import jax
+    import jax.numpy as jnp
+    from hsg_tpu.losses import segsort as segsort_loss
+    from hsg_tpu.ops import common as ops_common
+
+    @jax.jit
+    def retrieve(cluster_embedding, cluster_index, pixel_valid, seg_valid):
+        s = seg_valid.shape[0]
+        protos = ops_common.calculate_prototypes_from_labels(
+            cluster_embedding, cluster_index, s,
+            pixel_valid.astype(cluster_embedding.dtype))
+        _, topk_labels = segsort_loss.top_k_ranking(
+            protos, jnp.zeros((s,), jnp.int32), memory, memory_labels, 20)
+        majority = segsort_loss.majority_label_from_topk(
+            topk_labels, config.dataset.num_classes)
+        return majority[cluster_index]
+
+    return retrieve

@@ -26,8 +26,6 @@ def main():
     from hsg_tpu.data import transforms
     from hsg_tpu.data.dataset import ListDataset
     from hsg_tpu.eval import memory_bank
-    from hsg_tpu.losses import segsort as segsort_loss
-    from hsg_tpu.ops import common as ops_common
     from hsg_tpu.train import checkpoint as ckpt_lib
     from hsg_tpu.utils import vis
     from pyscripts import eval_common
@@ -75,17 +73,7 @@ def main():
     memory = jnp.asarray(memory[keep])
     memory_labels = jnp.asarray(memory_labels[keep])
 
-    @jax.jit
-    def retrieve(cluster_embedding, cluster_index, pixel_valid, seg_valid):
-        s = seg_valid.shape[0]
-        protos = ops_common.calculate_prototypes_from_labels(
-            cluster_embedding, cluster_index, s,
-            pixel_valid.astype(jnp.float32))
-        _, topk_labels = segsort_loss.top_k_ranking(
-            protos, jnp.zeros((s,), jnp.int32), memory, memory_labels, 20)
-        majority = segsort_loss.majority_label_from_topk(
-            topk_labels, config.dataset.num_classes)
-        return majority[cluster_index]
+    retrieve = eval_common.make_retrieve_fn(config, memory, memory_labels)
 
     n = len(dataset)
     if args.num_images:
