@@ -36,6 +36,13 @@ TRAINLOG=${TRAINLOG:-/tmp/coco_s1.log}
 STALL_SECS=${STALL_SECS:-1500}
 TERM_GRACE=${TERM_GRACE:-120}
 POLL=${POLL:-120}
+# Collaborators, overridable so tests/test_guard_behavior.py can drive
+# the stall->kill->probe->relaunch loop against a fake trainer. Defaults
+# are the production wiring.
+RESUME_SCRIPT=${RESUME_SCRIPT:-recipes/coco_resume.sh}
+PROBE_CMD=${PROBE_CMD:-}          # empty -> real TPU matmul probe
+WATCHDOG_PIDFILE=${WATCHDOG_PIDFILE:-/tmp/coco_watchdog.pid}
+WATCHDOG_SCRIPT=${WATCHDOG_SCRIPT:-recipes/coco_watchdog.sh}
 
 RESUME_PID=""        # the relaunched coco_resume.sh shell (== trainer
                      # after its exec); covers the window before the
@@ -66,6 +73,10 @@ bench_running() {
 }
 
 tunnel_healthy() {
+  if [ -n "$PROBE_CMD" ]; then
+    eval "$PROBE_CMD"
+    return $?
+  fi
   # Device listing alone is NOT health (it kept working through the
   # observed stall) — require a round-tripped compute RPC.
   timeout 300 python -c "
@@ -92,16 +103,16 @@ kill_trainer() {
 
 relaunch() {
   log "relaunching trainer"
-  setsid nohup bash recipes/coco_resume.sh > "$TRAINLOG" 2>&1 < /dev/null &
+  setsid nohup bash "$RESUME_SCRIPT" > "$TRAINLOG" 2>&1 < /dev/null &
   RESUME_PID=$!
   sleep 5
   # The staging watchdog exits when a trainer dies; give the new trainer
   # one (it checks liveness via the watchdog's own pidfile — no
   # process-name pattern matching).
-  wpid=$(cat /tmp/coco_watchdog.pid 2>/dev/null)
+  wpid=$(cat "$WATCHDOG_PIDFILE" 2>/dev/null)
   if [ -z "$wpid" ] || ! kill -0 "$wpid" 2>/dev/null; then
     log "restarting staging watchdog"
-    setsid nohup bash recipes/coco_watchdog.sh \
+    setsid nohup bash "$WATCHDOG_SCRIPT" \
       >> /tmp/coco_watchdog.log 2>&1 < /dev/null &
   fi
 }
