@@ -103,3 +103,36 @@ def test_make_synthetic_dataset_contract(tmp_path):
     for sid in np.unique(sp):
         classes = np.unique(sem[sp == sid])
         assert classes.size == 1, f'superpixel {sid} spans {classes}'
+
+
+def test_recipe_report_json_quality_record(tmp_path):
+    """--json emits the round-end quality record: loss/acc trend plus any
+    milestone QUALITY.json evals (VERDICT r4, item 7)."""
+    import json
+
+    import tensorboardX
+
+    logdir = str(tmp_path / 'snap')
+    w = tensorboardX.SummaryWriter(logdir=logdir, flush_secs=1)
+    for step in range(0, 1001, 100):
+        w.add_scalar('loss', 5.0 - step / 500, step)
+        w.add_scalar('accuracy', 0.1 + step / 5000, step)
+    w.close()
+
+    mdir = tmp_path / 'milestones' / 'iter-100000'
+    mdir.mkdir(parents=True)
+    (mdir / 'QUALITY.json').write_text(
+        '{"milestone": 100000, "miou": 31.5, "pixel_acc": 70.2}')
+
+    out_json = str(tmp_path / 'QUALITY.json')
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'recipe_report.py'),
+         logdir, '--json', out_json,
+         '--milestones_dir', str(tmp_path / 'milestones')],
+        capture_output=True, text=True, check=True)
+    rec = json.loads(open(out_json).read())
+    assert rec['last_step'] == 1000
+    assert rec['loss_last10_mean'] == pytest.approx(3.9, abs=0.2)
+    assert rec['retrieval_acc_last10_mean'] == pytest.approx(0.21, abs=0.02)
+    assert rec['milestones'] == [
+        {'milestone': 100000, 'miou': 31.5, 'pixel_acc': 70.2}]

@@ -51,6 +51,13 @@ def main():
     ap.add_argument('snapshot_dir')
     ap.add_argument('--loss_tag', default='loss')
     ap.add_argument('--lr_tag', default='lr')
+    ap.add_argument('--json', dest='json_out', default=None,
+                    help='also write a one-line JSON quality record '
+                         '(loss/accuracy trend + milestone mIoU evals) '
+                         'for the round-end artifacts (QUALITY_r{N}.json)')
+    ap.add_argument('--milestones_dir', default='artifacts/coco_milestones',
+                    help='dir of iter-*/QUALITY.json milestone eval records '
+                         'merged into the --json output')
     args = ap.parse_args()
 
     per_file, merged = load_history(args.snapshot_dir)
@@ -109,6 +116,36 @@ def main():
               f'50% {aq(.5):.4f}  75% {aq(.75):.4f}  '
               f'end {acc[a_steps[-1]]:.4f} '
               f'(last-10-point mean {sum(a_tail) / len(a_tail):.4f})')
+
+    if args.json_out:
+        import json
+
+        # Milestone eval records (recipes/coco_milestone_eval.sh writes
+        # one QUALITY.json per evaluated snapshot).
+        milestones = []
+        for p in sorted(glob.glob(os.path.join(
+                args.milestones_dir, 'iter-*', 'QUALITY.json'))):
+            try:
+                with open(p) as f:
+                    milestones.append(json.load(f))
+            except (OSError, ValueError):
+                pass
+        milestones.sort(key=lambda m: m.get('milestone', 0))
+
+        record = {
+            'snapshot_dir': args.snapshot_dir,
+            'last_step': steps[-1] if steps else None,
+            'loss_last10_mean': (round(sum(tail) / len(tail), 4)
+                                 if steps else None),
+            'retrieval_acc_last10_mean': (
+                round(sum(a_tail) / len(a_tail), 4) if acc else None),
+            'logged_points': len(steps),
+            'milestones': milestones,
+        }
+        with open(args.json_out, 'w') as f:
+            json.dump(record, f)
+            f.write('\n')
+        print(f'quality record -> {args.json_out}')
 
 
 if __name__ == '__main__':
