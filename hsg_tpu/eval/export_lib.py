@@ -95,10 +95,12 @@ def export_serving(fn, example_args, path, platforms=None):
     return exported
 
 
-def write_sidecar(path, config, memory_size):
+def write_sidecar(path, config, memory_size, serve_batch=0):
     """Client-facing metadata next to the artifact (preprocessing
 
-    contract: resize larger side to image_size, pad to crop, normalize)."""
+    contract: resize larger side to image_size, pad to crop, normalize).
+    `serve_batch` > 0 records that a vmapped `serving_batch.bin`
+    companion artifact with that fixed window-batch size exists."""
     meta = {
         'crop_size': [int(s) for s in config.test.crop_size],
         'image_size': int(config.test.image_size),
@@ -112,6 +114,11 @@ def write_sidecar(path, config, memory_size):
         'input': '(image[crop_h,crop_w,3] f32 normalized, valid_h i32, '
                  'valid_w i32) -> labels[crop_h,crop_w] u8',
     }
+    if serve_batch:
+        meta['serve_batch'] = int(serve_batch)
+        meta['batch_input'] = (
+            f'(image[{int(serve_batch)},crop_h,crop_w,3] f32 normalized, '
+            f'valid_h i32[N], valid_w i32[N]) -> labels[N,crop_h,crop_w] u8')
     with open(path, 'w') as f:
         json.dump(meta, f, indent=2)
     return meta

@@ -38,7 +38,12 @@ def main():
                    help='skip folding BatchNorm running stats into conv '
                         'kernels before export (fold is exact math; it '
                         'shrinks the artifact, not TPU step time — XLA '
-                        'already fuses eval-mode BN)'))]
+                        'already fuses eval-mode BN)')),
+             (('--serve_batch',),
+              dict(type=int, default=4,
+                   help='also export serving_batch.bin, a vmapped '
+                        'N-window variant for batched serving '
+                        '(0 disables)'))]
     args, config = parse_args('Export a standalone serving artifact.',
                               extra_args=extra)
 
@@ -102,7 +107,21 @@ def main():
     artifact = os.path.join(args.save_dir, 'serving.bin')
     export_lib.export_serving(fn, example, artifact, platforms=platforms)
     meta = export_lib.write_sidecar(
-        os.path.join(args.save_dir, 'serving.json'), config, memory.shape[0])
+        os.path.join(args.save_dir, 'serving.json'), config, memory.shape[0],
+        serve_batch=args.serve_batch)
+
+    if args.serve_batch:
+        # Batched variant: one MXU-friendly dispatch for N windows
+        # (vmap over the per-window fn; valid extents become per-window
+        # vectors). serve.py chunks /label_batch requests through it.
+        b = args.serve_batch
+        batch_example = (jnp.zeros((b, ch, cw, 3), jnp.float32),
+                         jnp.full((b,), ch, jnp.int32),
+                         jnp.full((b,), cw, jnp.int32))
+        export_lib.export_serving(
+            jax.vmap(fn), batch_example,
+            os.path.join(args.save_dir, 'serving_batch.bin'),
+            platforms=platforms)
 
     # Self-check: the deserialized artifact must reproduce the direct
     # jitted fn on a random input.

@@ -60,6 +60,15 @@ class _Runner:
             self.meta = json.load(f)
         self.fn = export_lib.load_serving(
             os.path.join(artifact_dir, 'serving.bin'))
+        # Optional vmapped companion (pyscripts/export.py --serve_batch):
+        # one dispatch labels `serve_batch` windows.
+        self.batch_fn = None
+        self.batch = int(self.meta.get('serve_batch', 0))
+        batch_path = os.path.join(artifact_dir, 'serving_batch.bin')
+        if self.batch > 0 and os.path.exists(batch_path):
+            self.batch_fn = export_lib.load_serving(batch_path)
+        else:
+            self.batch = 0
         self.backend = jax.devices()[0].platform
         self.color_map = vis.voc_color_map()
         self.lock = threading.Lock()
@@ -71,9 +80,15 @@ class _Runner:
         jnp = self._jnp
         np.asarray(self.fn(jnp.zeros((ch, cw, 3), jnp.float32),
                            jnp.int32(ch), jnp.int32(cw)))
+        if self.batch_fn is not None:
+            b = self.batch
+            np.asarray(self.batch_fn(
+                jnp.zeros((b, ch, cw, 3), jnp.float32),
+                jnp.full((b,), ch, jnp.int32),
+                jnp.full((b,), cw, jnp.int32)))
 
-    def label(self, image_u8):
-        """image_u8 [h,w,3] -> label indices [h,w] u8 at the input size."""
+    def _preprocess(self, image_u8):
+        """image_u8 [h,w,3] -> (canvas [ch,cw,3] f32, rh, rw)."""
         from PIL import Image
 
         h, w = image_u8.shape[:2]
@@ -93,15 +108,58 @@ class _Runner:
         std = np.asarray(self.meta['pixel_stds'], np.float32)
         canvas = np.zeros((ch, cw, 3), np.float32)
         canvas[:rh, :rw] = (resized.astype(np.float32) / 255.0 - mean) / std
+        return canvas, rh, rw
 
+    @staticmethod
+    def _postprocess(pred, rh, rw, h, w):
+        from PIL import Image
+
+        return np.asarray(
+            Image.fromarray(pred[:rh, :rw], mode='L').resize(
+                (w, h), Image.NEAREST))
+
+    def label(self, image_u8):
+        """image_u8 [h,w,3] -> label indices [h,w] u8 at the input size."""
+        h, w = image_u8.shape[:2]
+        canvas, rh, rw = self._preprocess(image_u8)
         jnp = self._jnp
         with self.lock:
             self.requests += 1
             pred = np.asarray(self.fn(jnp.asarray(canvas),
                                       jnp.int32(rh), jnp.int32(rw)))
-        pred = pred[:rh, :rw]
-        return np.asarray(
-            Image.fromarray(pred, mode='L').resize((w, h), Image.NEAREST))
+        return self._postprocess(pred, rh, rw, h, w)
+
+    def label_batch(self, images_u8):
+        """[images [h_i,w_i,3]] -> [labels [h_i,w_i] u8] in one or few
+        device dispatches through the vmapped artifact (chunks of
+        `serve_batch` windows; the tail chunk is zero-padded). Falls back
+        to the per-window artifact when no batch artifact was exported."""
+        if self.batch_fn is None:
+            return [self.label(im) for im in images_u8]
+        pre = [self._preprocess(im) for im in images_u8]
+        canvases = np.stack([c for c, _, _ in pre])
+        rhs = np.asarray([rh for _, rh, _ in pre], np.int32)
+        rws = np.asarray([rw for _, _, rw in pre], np.int32)
+        n, b = len(pre), self.batch
+        pad = (-n) % b
+        if pad:
+            canvases = np.concatenate(
+                [canvases, np.zeros((pad,) + canvases.shape[1:],
+                                    canvases.dtype)])
+            rhs = np.concatenate([rhs, np.ones((pad,), np.int32)])
+            rws = np.concatenate([rws, np.ones((pad,), np.int32)])
+        jnp = self._jnp
+        preds = []
+        with self.lock:
+            self.requests += len(images_u8)
+            for st in range(0, n + pad, b):
+                preds.append(np.asarray(self.batch_fn(
+                    jnp.asarray(canvases[st:st + b]),
+                    jnp.asarray(rhs[st:st + b]),
+                    jnp.asarray(rws[st:st + b]))))
+        preds = np.concatenate(preds)[:n]
+        return [self._postprocess(p, rh, rw, im.shape[0], im.shape[1])
+                for p, (_, rh, rw), im in zip(preds, pre, images_u8)]
 
 
 def make_handler(runner):
@@ -133,6 +191,9 @@ def make_handler(runner):
             from PIL import Image
 
             url = urlparse(self.path)
+            if url.path == '/label_batch':
+                self._label_batch()
+                return
             if url.path != '/label':
                 self._json(404, {'error': f'unknown path {url.path}'})
                 return
@@ -158,6 +219,38 @@ def make_handler(runner):
             buf = io.BytesIO()
             out.save(buf, format='PNG')
             self._send(200, buf.getvalue(), 'image/png')
+
+        def _label_batch(self):
+            """POST /label_batch: body = NPZ with arrays image_0..image_N-1
+            ([h,w,3] u8, sizes may differ); response = NPZ with
+            pred_0..pred_N-1 ([h,w] u8). Windows ride the vmapped batch
+            artifact in chunks of `serve_batch` (per-window fallback when
+            the batch artifact wasn't exported)."""
+            try:
+                n = int(self.headers.get('Content-Length', 0))
+                data = np.load(io.BytesIO(self.rfile.read(n)))
+                keys = sorted(data.files,
+                              key=lambda k: int(k.split('_')[-1]))
+                images = []
+                for k in keys:
+                    im = np.asarray(data[k])
+                    if im.ndim != 3 or im.shape[-1] != 3:
+                        raise ValueError(f'{k}: want [h,w,3] u8, '
+                                         f'got {im.shape}')
+                    images.append(im.astype(np.uint8))
+                if not images:
+                    raise ValueError('empty batch')
+            except Exception as e:  # noqa: BLE001 — client error surface
+                self._json(400, {'error': f'bad batch: {e}'})
+                return
+            try:
+                preds = runner.label_batch(images)
+            except Exception as e:  # noqa: BLE001 — server error surface
+                self._json(500, {'error': f'inference failed: {e}'})
+                return
+            buf = io.BytesIO()
+            np.savez(buf, **{f'pred_{i}': p for i, p in enumerate(preds)})
+            self._send(200, buf.getvalue(), 'application/octet-stream')
 
     return Handler
 

@@ -22,7 +22,9 @@ from test_export import _tiny_setup
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _export_tiny_artifact(dirpath):
+def _export_tiny_artifact(dirpath, serve_batch=2):
+    import jax
+
     cfg, model, variables, memory, memory_labels = _tiny_setup()
     fn = export_lib.make_serving_fn(model, variables, memory, memory_labels,
                                     cfg)
@@ -30,8 +32,15 @@ def _export_tiny_artifact(dirpath):
                jnp.int32(32))
     export_lib.export_serving(fn, example, os.path.join(dirpath,
                                                         'serving.bin'))
+    if serve_batch:
+        batch_example = (jnp.zeros((serve_batch, 32, 32, 3), jnp.float32),
+                         jnp.full((serve_batch,), 32, jnp.int32),
+                         jnp.full((serve_batch,), 32, jnp.int32))
+        export_lib.export_serving(
+            jax.vmap(fn), batch_example,
+            os.path.join(dirpath, 'serving_batch.bin'))
     export_lib.write_sidecar(os.path.join(dirpath, 'serving.json'), cfg,
-                             memory.shape[0])
+                             memory.shape[0], serve_batch=serve_batch)
     return cfg
 
 
@@ -103,6 +112,60 @@ def test_serve_http_roundtrip(tmp_path):
         health = json.loads(urllib.request.urlopen(
             f'{base}/healthz', timeout=60).read())
         assert health['requests'] == 2
+
+        # --- concurrent requests (ThreadingHTTPServer + artifact lock):
+        # two simultaneous POST /label round-trips must both succeed
+        # (VERDICT r4, item 8).
+        results = [None, None]
+
+        def worker(i):
+            results[i] = post(f'{base}/label')
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for r in results:
+            assert r is not None, 'concurrent request did not complete'
+            got = np.asarray(Image.open(io.BytesIO(r)))
+            np.testing.assert_array_equal(got, pred)
+        health = json.loads(urllib.request.urlopen(
+            f'{base}/healthz', timeout=60).read())
+        assert health['requests'] == 4
+
+        # --- batched endpoint: two differently-sized images through the
+        # vmapped serving_batch.bin in one request; per-image results
+        # must equal the per-window endpoint's.
+        img2 = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        nbuf = io.BytesIO()
+        np.savez(nbuf, image_0=np.asarray(img), image_1=img2)
+        req = urllib.request.Request(
+            f'{base}/label_batch', data=nbuf.getvalue(),
+            headers={'Content-Type': 'application/octet-stream'})
+        out = np.load(io.BytesIO(
+            urllib.request.urlopen(req, timeout=300).read()))
+        assert sorted(out.files) == ['pred_0', 'pred_1']
+        np.testing.assert_array_equal(out['pred_0'], pred)
+        assert out['pred_1'].shape == (24, 32)
+        assert out['pred_1'].max() < cfg.dataset.num_classes
+
+        buf2 = io.BytesIO()
+        Image.fromarray(img2).save(buf2, format='PNG')
+        req2 = urllib.request.Request(
+            f'{base}/label', data=buf2.getvalue(),
+            headers={'Content-Type': 'image/png'})
+        single2 = np.asarray(Image.open(io.BytesIO(
+            urllib.request.urlopen(req2, timeout=300).read())))
+        np.testing.assert_array_equal(out['pred_1'], single2)
+
+        bad = urllib.request.Request(f'{base}/label_batch', data=b'junk')
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            raise AssertionError('expected HTTP 400 for a bad batch')
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         killer.cancel()
         proc.kill()
