@@ -23,7 +23,9 @@ def inner_product_kernel(x: jnp.ndarray) -> jnp.ndarray:
 
     Parity with reference `inner_product_kernel` (graph/common.py:8).
     """
-    return jnp.einsum('bnc,bmc->bnm', x, x, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        'bnc,bmc->bnm', x, x,
+        preferred_element_type=jnp.promote_types(jnp.float32, x.dtype))
 
 
 def exp_inner_product_kernel(x: jnp.ndarray, concentration: float = 5.0) -> jnp.ndarray:

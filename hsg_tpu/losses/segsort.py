@@ -28,7 +28,8 @@ def _similarities(embeddings, prototypes, concentration, prototype_valid):
     logits = jax.lax.dot_general(
         embeddings, prototypes,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.promote_types(jnp.float32,
+                                                 embeddings.dtype))
     sims = jnp.exp(logits * concentration)
     if prototype_valid is not None:
         sims = sims * prototype_valid[None, :].astype(sims.dtype)
@@ -277,7 +278,8 @@ def top_k_ranking(embeddings: jnp.ndarray,
         embeddings.reshape(-1, embeddings.shape[-1]),
         prototypes.reshape(-1, prototypes.shape[-1]),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.promote_types(jnp.float32,
+                                                 embeddings.dtype))
     if prototype_valid is not None:
         affinity = jnp.where(prototype_valid[None, :], affinity, -jnp.inf)
     # The reference's argsort-slice degrades gracefully when fewer than

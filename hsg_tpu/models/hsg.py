@@ -47,7 +47,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from hsg_tpu.models.fcn import ResnetFcn, _bilinear_resize
+from hsg_tpu.models.fcn import ResnetFcn, _bilinear_resize, _remat_cfg
 from hsg_tpu.models.position import PositionEmbeddingLearned
 from hsg_tpu.models.transformer import TransformerClustering
 from hsg_tpu.ops import common
@@ -102,7 +102,10 @@ class MultiviewResnetFcn(ResnetFcn):
                   num_encoder_layers=self.transformer_enc_layers,
                   num_decoder_layers=self.transformer_dec_layers,
                   dim_feedforward=dim * 2, dropout=self.transformer_dropout,
-                  dtype=jnp.float32)
+                  # >= f32 whatever the backbone compute dtype (bf16
+                  # backbones run the clustering heads in f32; the f64
+                  # sharded-equality gate must stay f64 end to end).
+                  dtype=jnp.promote_types(jnp.float32, self.dtype))
         self.fine_hrchy_transformer = TransformerClustering(
             num_clusters=self.fine_hrchy_clusters,
             name='fine_hrchy_transformer', **kw)
@@ -259,7 +262,7 @@ def _build_multiview(depth, strides, dilations, config):
         kmeans_num_clusters=tuple(net.kmeans_num_clusters),
         kmeans_iterations=net.kmeans_iterations,
         max_segments=net.max_segments_per_view,
-        remat=bool(net.get('remat', False)),
+        remat=_remat_cfg(net.get('remat', False)),
         num_views=net.num_views,
         fine_hrchy_clusters=config.train.fine_hrchy_clusters,
         coarse_hrchy_clusters=config.train.coarse_hrchy_clusters,

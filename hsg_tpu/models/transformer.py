@@ -55,8 +55,9 @@ class MultiheadAttention(nn.Module):
         v = proj(value, 'v_proj').reshape(b, lk, self.nhead, dh)
 
         logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits / jnp.sqrt(jnp.float32(dh))
+                            preferred_element_type=jnp.promote_types(
+                                jnp.float32, q.dtype))
+        logits = logits / jnp.sqrt(logits.dtype.type(dh))
         if key_padding_mask is not None:  # [B, Lk], True = padded
             logits = logits + jnp.where(
                 key_padding_mask[:, None, None, :], _NEG, 0.0)
@@ -282,8 +283,9 @@ class TransformerClustering(nn.Module):
         centroid_feats = head(dec, 'centroid_feat_fc')
 
         logits = jnp.einsum('btc,bsc->bts', centroids, memory,
-                            preferred_element_type=jnp.float32)
-        logits = logits / jnp.sqrt(jnp.float32(c))
+                            preferred_element_type=jnp.promote_types(
+                                jnp.float32, centroids.dtype))
+        logits = logits / jnp.sqrt(logits.dtype.type(c))
         max_logits = jnp.max(logits, axis=-1)                     # [B, T]
         _, topk = jax.lax.top_k(max_logits, self.num_clusters)    # [B, K]
 

@@ -52,9 +52,11 @@ def segment_sum(x: jnp.ndarray, index: jnp.ndarray, num_segments: int,
     oh = one_hot(index, num_segments, dtype=x.dtype)  # [N, S]
     if weights is not None:
         oh = oh * weights[:, None].astype(x.dtype)
+    # Accumulate in >= f32 (bf16 inputs accumulate f32 on the MXU; f64
+    # parity/gate runs must NOT round through f32).
     return jax.lax.dot_general(
         oh, x, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.promote_types(jnp.float32, x.dtype))
 
 
 def segment_mean(x: jnp.ndarray, index: jnp.ndarray, num_segments: int,
@@ -102,7 +104,8 @@ def find_nearest_prototypes(embeddings: jnp.ndarray,
     sims = jax.lax.dot_general(
         embeddings, prototypes,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.promote_types(jnp.float32,
+                                                 embeddings.dtype))
     return jnp.argmax(sims, axis=1)
 
 

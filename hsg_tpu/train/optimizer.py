@@ -96,9 +96,16 @@ def _group_plan(params, multipliers, decay_mask):
     return sorted(groups.items())
 
 
-def _concat_group(leaves, idxs):
+def _group_dtype(leaves, idxs):
+    """>= f32 accumulator dtype for a group (f64 params stay f64 so the
+    float64 sharded-equality gate does not round updates through f32)."""
+    return jnp.promote_types(
+        jnp.float32, jnp.result_type(*[leaves[i].dtype for i in idxs]))
+
+
+def _concat_group(leaves, idxs, dtype=jnp.float32):
     return jnp.concatenate(
-        [leaves[i].reshape(-1).astype(jnp.float32) for i in idxs])
+        [leaves[i].reshape(-1).astype(dtype) for i in idxs])
 
 
 def _split_group(flat, leaves, idxs, out, scale=-1.0):
@@ -125,7 +132,8 @@ def sgd(momentum: float = 0.9, weight_decay: float = 0.0,
         plan = _group_plan(params, multipliers, decay_mask)
         leaves = jax.tree_util.tree_leaves(params)
         return SGDState(momentum=tuple(
-            jnp.zeros(sum(leaves[i].size for i in idxs), jnp.float32)
+            jnp.zeros(sum(leaves[i].size for i in idxs),
+                      _group_dtype(leaves, idxs))
             for _, idxs in plan))
 
     def update_fn(grads, state, params, lr):
@@ -136,9 +144,10 @@ def sgd(momentum: float = 0.9, weight_decay: float = 0.0,
             upd_leaves = [None] * len(g_leaves)
             new_bufs = []
             for gi, ((mult, use_wd), idxs) in enumerate(plan):
-                g = _concat_group(g_leaves, idxs)
+                dt = _group_dtype(p_leaves, idxs)
+                g = _concat_group(g_leaves, idxs, dt)
                 if weight_decay and use_wd:
-                    g = g + weight_decay * _concat_group(p_leaves, idxs)
+                    g = g + weight_decay * _concat_group(p_leaves, idxs, dt)
                 buf = momentum * state.momentum[gi] + (mult * lr) * g
                 new_bufs.append(buf)
                 _split_group(buf, g_leaves, idxs, upd_leaves)
@@ -153,7 +162,7 @@ def sgd(momentum: float = 0.9, weight_decay: float = 0.0,
             mask = jax.tree_util.tree_map(lambda _: True, params)
 
         def upd(g, buf, p, m, use_wd):
-            g = g.astype(jnp.float32)
+            g = g.astype(jnp.promote_types(jnp.float32, p.dtype))
             if weight_decay:
                 g = g + jnp.where(use_wd, weight_decay, 0.0) * p
             buf = momentum * buf + (m * lr) * g
