@@ -64,7 +64,7 @@ class ResnetFcn(nn.Module):
     kmeans_num_clusters: Sequence[int] = (5, 5)
     kmeans_iterations: int = 10
     max_segments: int = 128
-    remat: bool = False
+    remat: Any = False
     dtype: Any = jnp.float32
     fold_bn: bool = False
 
@@ -156,6 +156,14 @@ class ResnetFcn(nn.Module):
         return outputs
 
 
+def _remat_cfg(v):
+    """Config remat knob: False/True or a stage list like 'res2,res3'
+    (selective remat — see ResNetBackbone docstring)."""
+    if isinstance(v, str):
+        return v
+    return bool(v)
+
+
 def _build(depth, strides, dilations, config):
     net = config.network
     # Optional depth override (no reference analog): lets smoke tests and
@@ -169,7 +177,7 @@ def _build(depth, strides, dilations, config):
         kmeans_num_clusters=tuple(net.kmeans_num_clusters),
         kmeans_iterations=net.kmeans_iterations,
         max_segments=net.max_segments_per_view,
-        remat=bool(net.get('remat', False)),
+        remat=_remat_cfg(net.get('remat', False)),
         dtype=jnp.bfloat16 if net.get('compute_dtype') == 'bfloat16'
         else jnp.float32)
 

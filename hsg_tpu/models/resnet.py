@@ -18,6 +18,7 @@ thread/queue machinery.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -49,13 +50,20 @@ class BatchNorm(nn.Module):
         # the BN moments; float64 inputs (x64 parity tests vs the torch
         # reference) keep full double precision.
         stat_dtype = jnp.promote_types(jnp.float32, orig_dtype)
+        # HSG_BN_LOWP=1 (A/B knob, docs/DESIGN.md): keep the moment
+        # reductions f32 (flax force_float32_reductions) but run the
+        # normalize/affine apply in the compute dtype instead of casting
+        # the whole activation up — halves the BN epilogue's HBM traffic
+        # for bf16 backbones. Stats/params stay f32 either way, so the
+        # variable tree (and checkpoints) are identical.
+        lowp = os.environ.get('HSG_BN_LOWP') == '1'
         y = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
-            dtype=stat_dtype,
+            dtype=orig_dtype if lowp else stat_dtype,
             param_dtype=stat_dtype,
-        )(x.astype(stat_dtype))
+        )(x if lowp else x.astype(stat_dtype))
         return y.astype(orig_dtype)
 
 
@@ -114,11 +122,17 @@ class ResNetBackbone(nn.Module):
     `remat=True` rematerializes each bottleneck block in the backward pass
     (jax.checkpoint), trading ~30% extra FLOPs for O(depth) less activation
     memory — lets the global batch grow on HBM-limited chips.
+
+    Selective remat: `remat='res2,res3'` rematerializes only the named
+    stages. The early stages hold the LARGEST activations (highest
+    spatial extent) but the CHEAPEST recompute (fewest channels), so
+    remat'ing res2-3 only buys most of the memory back at a fraction of
+    full-backbone remat's recompute FLOPs (A/B in docs/DESIGN.md).
     """
     blocks: Sequence[int] = (3, 4, 6, 3)
     strides: Sequence[int] = (1, 2, 2, 1)
     dilations: Sequence[int] = (1, 1, 1, 2)
-    remat: bool = False
+    remat: Any = False
     dtype: Any = jnp.float32
     fold_bn: bool = False
 
@@ -133,9 +147,15 @@ class ResNetBackbone(nn.Module):
 
         feats = []
         planes = (64, 128, 256, 512)
-        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
-                     if self.remat else Bottleneck)
+        if isinstance(self.remat, str):
+            remat_stages = {s.strip() for s in self.remat.split(',') if s.strip()}
+        else:
+            remat_stages = ({'res2', 'res3', 'res4', 'res5'} if self.remat
+                            else set())
+        remat_cls = nn.remat(Bottleneck, static_argnums=(2,))
         for stage in range(4):
+            block_cls = (remat_cls if f'res{stage + 2}' in remat_stages
+                         else Bottleneck)
             grids = [1, 2, 4] if stage == 3 else None
             dils = _stage_dilations(self.blocks[stage],
                                     self.dilations[stage], grids)

@@ -146,3 +146,50 @@ def test_hsg_factory_from_config():
     model = hsg_lib.resnet_50_fcn_multiview(cfg)
     assert model.fine_hrchy_clusters == 3
     assert model.max_segments == 8
+
+
+def test_selective_remat_matches_no_remat():
+    """remat='res2,res3' (and full remat) are pure recompute schedules:
+    outputs and grads must equal the no-remat graph exactly."""
+    from jax.flatten_util import ravel_pytree
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 32, 32, 3)),
+                    jnp.float32)
+    results = {}
+    for mode in [False, True, 'res2,res3']:
+        m = ResNetBackbone(blocks=(1, 1, 1, 1), remat=mode)
+        v = m.init(jax.random.PRNGKey(0), x, True)
+
+        def loss(p):
+            feats = m.apply(
+                {'params': p, 'batch_stats': v['batch_stats']},
+                x, True, mutable=['batch_stats'])[0]
+            return sum(jnp.sum(f.astype(jnp.float32) ** 2) for f in feats)
+
+        l, g = jax.jit(jax.value_and_grad(loss))(v['params'])
+        results[str(mode)] = (float(l), np.asarray(ravel_pytree(g)[0]))
+    base_l, base_g = results['False']
+    for mode in ['True', 'res2,res3']:
+        l, g = results[mode]
+        np.testing.assert_allclose(l, base_l, rtol=1e-6)
+        # Recompute changes the f32 reduction order inside XLA fusions;
+        # grads agree to reassociation noise, not bitwise.
+        np.testing.assert_allclose(g, base_g, rtol=1e-3, atol=5e-3)
+
+
+def test_bn_lowp_apply_keeps_variable_tree(monkeypatch):
+    """HSG_BN_LOWP=1 changes only the apply precision: the variable tree
+    (params + batch_stats, all f32) is identical, so checkpoints are
+    interchangeable between the two modes."""
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 3)),
+                    jnp.bfloat16)
+    m = ResNetBackbone(blocks=(1, 1, 1, 1), dtype=jnp.bfloat16)
+    v0 = m.init(jax.random.PRNGKey(0), x, True)
+    monkeypatch.setenv('HSG_BN_LOWP', '1')
+    v1 = m.init(jax.random.PRNGKey(0), x, True)
+    t0 = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), v0)
+    t1 = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), v1)
+    assert t0 == t1
+    # And a lowp forward accepts the f32-mode variables directly.
+    feats, _ = m.apply(v0, x, True, mutable=['batch_stats'])
+    assert all(f.dtype == jnp.bfloat16 for f in feats)

@@ -40,6 +40,10 @@ STAGES = {
     'stage1': ('configs/coco_stage1.yaml', 128, 224, None),
     'stage1p': ('configs/coco_stage1.yaml', 128, 224, 128),
     'stage2': ('configs/coco_stage2.yaml', 48, 448, None),
+    # Production stage-2 shape: 48 images x 2 views = 96 view rows
+    # (configs/coco_synthetic_stage2.yaml batch_size 48, remat true) —
+    # the scale where the remat A/Bs matter.
+    'stage2_full': ('configs/coco_stage2.yaml', 96, 448, None),
     # Cityscapes 1-stage recipe (bashscripts/cityscapes/train.sh:20-32):
     # hsg_cs variant, all 5 losses. The reference's global batch is
     # 8 GPUs x 4 images x 2 views = 64 view rows @448²
@@ -102,8 +106,12 @@ def run(stage, steps, profile_dir=None, emit=True, rows=None, hw=None):
         config.train.nca_impl = os.environ['HSG_NCA_IMPL']
     # remat OFF by default: stage-2 at batch 48 @448² fits 16 GB HBM
     # without it, and the backward runs 20% faster (134.5 vs 167.5
-    # ms/step measured). HSG_REMAT=1 re-enables for bigger batches.
-    config.network.remat = os.environ.get('HSG_REMAT') == '1'
+    # ms/step measured). HSG_REMAT=1 re-enables for bigger batches;
+    # HSG_REMAT='res2,res3' selects stage-selective remat (A/B).
+    _remat_env = os.environ.get('HSG_REMAT', '')
+    config.network.remat = (True if _remat_env == '1'
+                            else _remat_env if _remat_env not in ('', '0')
+                            else False)
 
     num_views = config.network.num_views
     protos = rows * config.network.max_segments_per_view
