@@ -92,10 +92,16 @@ def main():
     for (plane, line), ps in plane_lines.most_common(12):
         print(f'  {plane} :: {line}: {ps / 1e9:.2f} ms')
 
-    # Use the busiest line (usually "XLA Ops") for the op breakdown.
+    # Default to the synchronous "XLA Ops" line: async lines
+    # ("Async XLA Ops") record SPANS that include in-flight wait, so
+    # their totals over-count overlapped copies/DMAs; the sync line is
+    # the exclusive critical-path time. Fall back to the busiest line.
     if not plane_lines:
         sys.exit('no device events found')
-    best_line = args.line or max(plane_lines, key=plane_lines.get)[1]
+    sync_lines = [k[1] for k in plane_lines
+                  if k[1] == 'XLA Ops']
+    best_line = args.line or (sync_lines[0] if sync_lines else
+                              max(plane_lines, key=plane_lines.get)[1])
     ops = {k[1]: v for k, v in per_op.items() if k[0] == best_line}
     ops_n = {k[1]: v for k, v in per_op_n.items() if k[0] == best_line}
     total = sum(ops.values())

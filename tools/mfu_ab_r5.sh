@@ -1,5 +1,10 @@
 #!/bin/bash
 # Round-5 training-MFU A/B session (VERDICT r4 item 4): one chip
+# NOTE: runs are UNCHAINED — the 10-step scan wrapper explodes the
+# tunnel-side compile (>45 min vs 71 s bare, measured this round);
+# the ~4 ms/step dispatch inflation is identical across variants so
+# the A/B deltas are clean. Absolute MFU quotes use chained stage
+# numbers from r4 where available.
 # takeover that profiles stage-2 and measures the named candidates —
 #   stage2:    baseline (no remat) + xplane trace -> per-HLO buckets
 #   stage2:    HSG_BN_LOWP=1 (bf16 BN normalize/apply, f32 moments)
@@ -17,7 +22,7 @@ cd "$(dirname "$0")/.."
 OUT=${OUT:-artifacts/mfu_ab_r5}
 PIDFILE=${PIDFILE:-/tmp/coco_s1.pid}
 BENCHPID=${BENCHPID:-/tmp/hsg_bench.pid}
-STEPS=${STEPS:-60}
+STEPS=${STEPS:-43}
 mkdir -p "${OUT}"
 
 echo $$ > "${BENCHPID}"
@@ -44,17 +49,25 @@ fi
 run() {  # name stage [env pairs...]
   local name=$1 stage=$2; shift 2
   echo "=== ${name}" | tee -a "${OUT}/LOG"
-  env "$@" HSG_CHAINED=10 PYTHONPATH=. \
-    timeout 900 python tools/rehearse_recipes.py --stage "${stage}" \
+  env "$@" \
+    timeout 1500 python tools/rehearse_recipes.py --stage "${stage}" \
     --steps "${STEPS}" 2>>"${OUT}/LOG" \
     | tail -1 | tee "${OUT}/${name}.json" | tee -a "${OUT}/LOG"
+  # An empty record means the run died (backend init, OOM). A dead
+  # BASELINE means the session itself is broken -> abort; a dead
+  # candidate (e.g. legitimate OOM of a no-remat variant) is itself a
+  # result -> record and continue.
+  if [ ! -s "${OUT}/${name}.json" ]; then
+    echo "FAILED: ${name} produced no record" | tee -a "${OUT}/LOG"
+    case "${name}" in *_base) exit 1;; esac
+  fi
 }
 
 # 1. stage-2 baseline + trace (trace run separate so timing stays clean)
 run stage2_base stage2
-PYTHONPATH=. timeout 900 python tools/rehearse_recipes.py --stage stage2 \
+timeout 1500 python tools/rehearse_recipes.py --stage stage2 \
   --steps 12 --profile_dir "${OUT}/trace_stage2" >> "${OUT}/LOG" 2>&1
-PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python PYTHONPATH=. \
+PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
   python tools/analyze_profile.py "${OUT}/trace_stage2" --top 40 \
   > "${OUT}/stage2_hlo_breakdown.txt" 2>&1 || true
 
