@@ -50,7 +50,7 @@ def device_events(space):
 
 
 BUCKETS = [
-    ('conv', r'convolution|conv_general'),
+    ('conv', r'convolution|conv_general|select-and-scatter'),
     ('matmul/dot', r'\bdot\b|dot_general|einsum'),
     ('scatter/gather', r'scatter|gather|dynamic-update|dynamic-slice'),
     ('reduce', r'reduce'),
@@ -61,12 +61,32 @@ BUCKETS = [
     ('infeed/outfeed/transfer', r'infeed|outfeed|transfer|send|recv'),
 ]
 
+# Classification looks at the INSTRUCTION NAME only (the `%lhs` before
+# `=`): XLA names instructions after their op (`%while.8`,
+# `%copy-start.12`, `%select-and-scatter`), and fusion names embed the
+# root op (`%convert_reduce_fusion.4`, `%add_add_fusion.2`). Matching
+# the whole line is wrong — operand text routinely contains
+# `%bitcast...` / `%copy...` INPUTS, which mis-buckets matmul fusions
+# as copies.
+_LHS_RE = re.compile(r'^%?(?P<lhs>[\w.\-]+)')
+
 
 def bucket_of(name):
     low = name.lower()
+    m = _LHS_RE.match(low)
+    lhs = m.group('lhs') if m else low
+    root = lhs.rsplit('.', 1)[0]          # strip the `.N` suffix
+    if root == 'fusion':
+        # Generic %fusion.N — the root op is not recoverable from the
+        # trace alone; keep it distinct instead of guessing.
+        return 'fusion (unknown root)'
     for b, pat in BUCKETS:
-        if re.search(pat, low):
+        if re.search(pat, root):
             return b
+    if root in ('while', 'conditional', 'call'):
+        return 'control flow (loops)'
+    if root == 'custom-call':
+        return 'custom-call (topk/pallas)'
     return 'other'
 
 
