@@ -27,6 +27,8 @@ def test_bench_main_flow_reports_all_metrics(monkeypatch):
     monkeypatch.setenv('HSG_BENCH_TRAIN_HW', '64')
     monkeypatch.setenv('HSG_BENCH_TRAIN_STEPS', '2')
     monkeypatch.setenv('HSG_CHAINED', '2')
+    monkeypatch.setenv('HSG_BENCH_TRAIN2_ROWS', '8')
+    monkeypatch.setenv('HSG_BENCH_TRAIN2_STEPS', '2')
 
     bench = importlib.import_module('bench')
     result = bench.run_bench()
@@ -44,5 +46,10 @@ def test_bench_main_flow_reports_all_metrics(monkeypatch):
         assert key in result, f'bench result lost key {key!r}: {result}'
     assert result['train_ms_step'] > 0
     assert result['train_views_s'] > 0
+
+    # Stage-2 production-shape metric (round 5).
+    for key in ('train2_ms_step', 'train2_views_s'):
+        assert key in result, f'bench result lost key {key!r}: {result}'
+    assert result['train2_ms_step'] > 0
     # mfu/train_mfu only exist on real TPU device kinds; on the CPU test
     # platform their absence is expected.
