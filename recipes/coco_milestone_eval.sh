@@ -44,6 +44,14 @@ finish() {
     setsid nohup bash recipes/coco_resume.sh > /tmp/coco_s1.log 2>&1 \
       < /dev/null &
     sleep 5
+    # The staging watchdog exits when it sees the paused trainer gone
+    # (its final-staging pass); restart it alongside the resumed
+    # trainer so resume points keep staging between guard relaunches.
+    wpid=$(cat /tmp/coco_watchdog.pid 2>/dev/null)
+    if [ -z "$wpid" ] || ! kill -0 "$wpid" 2>/dev/null; then
+      setsid nohup bash recipes/coco_watchdog.sh \
+        >> /tmp/coco_watchdog.log 2>&1 < /dev/null &
+    fi
   fi
   rm -f "${BENCHPID}"
 }
